@@ -1,0 +1,37 @@
+"""mellon-tpu: a TPU-native probabilistic inference framework with the
+capabilities of settylab/Mellon (non-parametric cell-state density,
+dimensionality, time-sensitive density and function estimation on sparse
+Gaussian processes with a nearest-neighbor-distance likelihood).
+
+Unlike the reference (``mellon/__init__.py:44-59``), importing this package
+has no JAX side effects: the platform and precision are whatever the host
+program configured, so TPU executions stay f32/bf16 on the MXU by default.
+"""
+
+import logging
+import sys
+
+from .version import __version__
+from .config import setup_jax, set_jax_config
+from .ops.kernels import Covariance
+from .utils import util
+from .utils import validation
+
+logger = logging.getLogger("mellon_tpu")
+if not logger.handlers:
+    _handler = logging.StreamHandler(sys.stdout)
+    _handler.setFormatter(
+        logging.Formatter("[%(asctime)s] [%(levelname)-8s] %(message)s")
+    )
+    logger.addHandler(_handler)
+    logger.setLevel(logging.INFO)
+    logger.propagate = False
+
+__all__ = [
+    "Covariance",
+    "__version__",
+    "setup_jax",
+    "set_jax_config",
+    "util",
+    "validation",
+]

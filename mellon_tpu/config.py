@@ -1,0 +1,42 @@
+"""Global numeric configuration for mellon-tpu.
+
+The reference implementation (mellon, ``mellon/__init__.py:44-59``) pins JAX to
+CPU and enables x64 at import time.  That is the wrong default for TPU: the MXU
+natively computes in f32/bf16 and f64 is software-emulated.  mellon-tpu instead
+
+* never touches the platform at import time,
+* computes in whatever dtype JAX's ``x64`` flag implies (f64 when enabled —
+  used by the CPU test-suite for parity with the reference — f32 otherwise),
+* concentrates the precision-sensitive work (the m x m landmark Cholesky,
+  cf. ``mellon/decomposition.py:79-123``) behind adaptive jitter so that f32
+  stays stable on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_JITTER = 1e-6
+
+
+def default_float():
+    """Return the active default float dtype (f64 iff jax x64 is enabled)."""
+    return jnp.asarray(0.0).dtype
+
+
+def is_x64():
+    return jnp.asarray(0.0).dtype == jnp.float64
+
+
+def set_jax_config(enable_x64=True, platform_name="cpu"):
+    """Compatibility shim mirroring the reference's ``set_jax_config``
+    (``mellon/util.py:572-586``).  Unlike the reference, mellon-tpu never calls
+    this at import time."""
+    jax.config.update("jax_enable_x64", enable_x64)
+    jax.config.update("jax_platform_name", platform_name)
+
+
+def setup_jax(enable_x64=True, platform="cpu"):
+    """Compatibility shim for the reference's ``setup_jax``
+    (``mellon/__init__.py:44-55``). Not invoked at import time."""
+    jax.config.update("jax_enable_x64", enable_x64)
+    jax.config.update("jax_platform_name", platform)

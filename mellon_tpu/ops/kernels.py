@@ -1,0 +1,528 @@
+"""Covariance kernels: ABC, operator algebra, six concrete kernels.
+
+Behavioural parity target: ``mellon/base_cov.py`` and ``mellon/cov.py``.
+
+TPU-first notes: every kernel evaluation is a single fused XLA graph of
+(matmul for pairwise distances) -> (elementwise VPU math); no intermediate
+materialization beyond the (n, m) tile.  The serialization format is kept
+byte-compatible with the reference (type tag ``"mellon.Covariance"``,
+``mellon/base_cov.py:110-224``) so kernels round-trip between frameworks.
+"""
+
+import json
+import logging
+import sys
+from abc import ABC, abstractmethod
+from datetime import datetime
+from importlib import import_module
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.util import (
+    distance,
+    distance_grad,
+    expand_to_inactive,
+    make_serializable,
+    deserialize,
+    select_active_dims,
+)
+
+logger = logging.getLogger("mellon_tpu")
+
+PACKAGE_NAME = __name__.split(".")[0]
+# serialization type tag shared with the reference for interchange
+COV_TYPE_TAG = "mellon.Covariance"
+
+
+class Covariance(ABC):
+    """Base covariance function (parity: ``mellon/base_cov.py:17-224``)."""
+
+    def __init__(self, active_dims=None):
+        self.active_dims = active_dims
+
+    def __str__(self):
+        return self.__repr__()
+
+    def __repr__(self):
+        clsname = self.__class__.__name__
+        arguments = [
+            f"{key}={val}"
+            for key, val in self.__dict__.items()
+            if key != "active_dims" or val is not None
+        ]
+        return clsname + "(" + ", ".join(arguments) + ")"
+
+    @abstractmethod
+    def k(self, x, y):
+        ...
+
+    def k_grad(self, x):
+        """Default autodiff gradient of k(x, .) w.r.t. y
+        (parity: ``mellon/base_cov.py:42-66``)."""
+        k_func = lambda y: self.k(x, y[None, :])[..., 0]
+        k_grad_pre = jax.vmap(jax.jacfwd(k_func), in_axes=(0,), out_axes=1)
+
+        def k_grad(y):
+            return k_grad_pre(y)
+
+        return k_grad
+
+    def __call__(self, x, y):
+        return self.k(x, y)
+
+    def diag(self, x):
+        """Diagonal of k(x, x) via vmap (parity: ``mellon/base_cov.py:71-93``)."""
+        x = jnp.expand_dims(x, 1)
+        res = jax.vmap(self.k)(x, x)
+        return jnp.reshape(res, res.shape[:-2])
+
+    def __add__(self, other):
+        return Add(self, other)
+
+    def __radd__(self, other):
+        return Add(self, other)
+
+    def __mul__(self, other):
+        return Mul(self, other)
+
+    def __rmul__(self, other):
+        return Mul(self, other)
+
+    def __pow__(self, other):
+        return Pow(self, other)
+
+    # -- serialization ------------------------------------------------------
+
+    def _data_dict(self):
+        return {key: make_serializable(val) for key, val in self.__dict__.items()}
+
+    def __getstate__(self):
+        module_name = self.__class__.__module__
+        clsname = self.__class__.__name__
+        if module_name == "__main__":
+            logger.warning(
+                f'The covariance function "{clsname}" is not part of '
+                f"{PACKAGE_NAME} and seems to be user defined. Make sure the "
+                "implementation is available for deserialization."
+            )
+        try:
+            metamodule = import_module(module_name.split(".")[0])
+            version = getattr(metamodule, "__version__", "NA")
+        except ImportError:
+            version = "NA"
+        return {
+            "type": COV_TYPE_TAG,
+            "data": self._data_dict(),
+            "metadata": {
+                "classname": clsname,
+                "module_name": module_name,
+                "module_version": version,
+                "serialization_date": datetime.now().isoformat(),
+                "python_version": sys.version,
+            },
+        }
+
+    def __setstate__(self, state):
+        for name, value in state["data"].items():
+            setattr(self, name, deserialize(value))
+
+    def to_json(self):
+        return json.dumps(self.__getstate__())
+
+    def to_dict(self):
+        return self.__getstate__()
+
+    @classmethod
+    def from_json(cls, json_str):
+        return cls.from_dict(json.loads(json_str))
+
+    @classmethod
+    def from_dict(cls, state):
+        if not isinstance(state, dict) or state.get("type") != COV_TYPE_TAG:
+            raise ValueError(
+                "The passed dict does not seem to define a covariance kernel."
+            )
+        clsname = state["metadata"]["classname"]
+        module_name = state["metadata"]["module_name"]
+        Subclass = _resolve_covariance_class(clsname, module_name)
+        instance = Subclass.__new__(Subclass)
+        instance.__setstate__(state)
+        return instance
+
+
+def _resolve_covariance_class(clsname, module_name):
+    """Resolve a kernel class by name.
+
+    Kernels serialized by the reference carry ``module_name="mellon.cov"``;
+    we map any known class name to our implementation first and only then
+    fall back to importing the stated module.
+    """
+    if clsname in globals():
+        return globals()[clsname]
+    try:
+        module = import_module(module_name)
+        return getattr(module, clsname)
+    except (ImportError, AttributeError):
+        pass
+    raise ValueError(
+        f"Cannot resolve covariance class {clsname} from module {module_name}."
+    )
+
+
+class CovariancePair(Covariance):
+    """Composite of two covariance functions
+    (parity: ``mellon/base_cov.py:227-298``)."""
+
+    def __init__(self, left, right, active_dims=None):
+        super().__init__()
+        self.left = left
+        self.right = right
+        self.active_dims = active_dims
+
+    @abstractmethod
+    def k(self, x, y):
+        ...
+
+    def __getstate__(self):
+        module_name = self.__class__.__module__.split(".")[0]
+        try:
+            module = import_module(module_name)
+            version = getattr(module, "__version__", "NA")
+        except ImportError:
+            version = "NA"
+        if callable(self.right):
+            right_data = self.right.__getstate__()
+        else:
+            right_data = make_serializable(self.right)
+        return {
+            "type": COV_TYPE_TAG,
+            "left_data": self.left.__getstate__(),
+            "right_data": right_data,
+            "active_dims": make_serializable(self.active_dims),
+            "metadata": {
+                "classname": self.__class__.__name__,
+                "module_name": module_name,
+                "module_version": version,
+                "serialization_date": datetime.now().isoformat(),
+                "python_version": sys.version,
+            },
+        }
+
+    def __setstate__(self, state):
+        if not isinstance(state, dict) or state.get("type") != COV_TYPE_TAG:
+            raise ValueError(
+                "The passed dict does not seem to define a covariance kernel."
+            )
+        self.left = Covariance.from_dict(state["left_data"])
+        if (
+            isinstance(state["right_data"], dict)
+            and state["right_data"].get("type") == COV_TYPE_TAG
+        ):
+            self.right = Covariance.from_dict(state["right_data"])
+        else:
+            self.right = deserialize(state["right_data"])
+        self.active_dims = deserialize(state.get("active_dims", None))
+
+
+class Add(CovariancePair):
+    """Sum kernel (parity: ``mellon/base_cov.py:301-364``)."""
+
+    def __repr__(self):
+        return "(" + repr(self.left) + " + " + repr(self.right) + ")"
+
+    def k(self, x, y):
+        x = select_active_dims(x, self.active_dims)
+        y = select_active_dims(y, self.active_dims)
+        if callable(self.right):
+            return self.left(x, y) + self.right(x, y)
+        return self.left(x, y) + self.right
+
+    def k_grad(self, x):
+        x_shape = x.shape
+        active_dims = self.active_dims
+        x = select_active_dims(x, active_dims)
+        left_grad = self.left.k_grad(x)
+        right_grad = self.right.k_grad(x) if callable(self.right) else None
+
+        def k_grad(y):
+            y_shape = y.shape
+            y_act = select_active_dims(y, active_dims)
+            grad = left_grad(y_act)
+            if right_grad is not None:
+                grad = grad + right_grad(y_act)
+            target_shape = x_shape[:-1] + y_shape
+            return expand_to_inactive(grad, target_shape, active_dims)
+
+        return k_grad
+
+
+class Mul(CovariancePair):
+    """Product kernel with product-rule gradient
+    (parity: ``mellon/base_cov.py:367-438``)."""
+
+    def __repr__(self):
+        return "(" + repr(self.left) + " * " + repr(self.right) + ")"
+
+    def k(self, x, y):
+        x = select_active_dims(x, self.active_dims)
+        y = select_active_dims(y, self.active_dims)
+        if callable(self.right):
+            return self.left(x, y) * self.right(x, y)
+        return self.left(x, y) * self.right
+
+    def k_grad(self, x):
+        x_shape = x.shape
+        active_dims = self.active_dims
+        x_act = select_active_dims(x, active_dims)
+        left_grad_func = self.left.k_grad(x_act)
+        right_grad_func = self.right.k_grad(x_act) if callable(self.right) else None
+
+        def k_grad(y):
+            y_shape = y.shape
+            y_act = select_active_dims(y, active_dims)
+            left_grad = left_grad_func(y_act)
+            if right_grad_func is not None:
+                left_k = self.left.k(x_act, y_act)[..., None]
+                right_k = self.right.k(x_act, y_act)[..., None]
+                right_grad = right_grad_func(y_act)
+                grad = left_grad * right_k + left_k * right_grad
+            else:
+                grad = left_grad * self.right
+            target_shape = x_shape[:-1] + y_shape
+            return expand_to_inactive(grad, target_shape, active_dims)
+
+        return k_grad
+
+
+class Pow(CovariancePair):
+    """Power kernel with chain-rule gradient
+    (parity: ``mellon/base_cov.py:441-497``)."""
+
+    def __repr__(self):
+        return "(" + repr(self.left) + " ** " + repr(self.right) + ")"
+
+    def k(self, x, y):
+        x = select_active_dims(x, self.active_dims)
+        y = select_active_dims(y, self.active_dims)
+        return self.left(x, y) ** self.right
+
+    def k_grad(self, x):
+        x_shape = x.shape
+        active_dims = self.active_dims
+        x_act = select_active_dims(x, active_dims)
+        base_grad_func = self.left.k_grad(x_act)
+
+        def k_grad(y):
+            y_shape = y.shape
+            y_act = select_active_dims(y, active_dims)
+            base_k = self.left.k(x_act, y_act)[..., None]
+            base_grad = base_grad_func(y_act)
+            power_grad = self.right * (base_k ** (self.right - 1)) * base_grad
+            target_shape = x_shape[:-1] + y_shape
+            return expand_to_inactive(power_grad, target_shape, active_dims)
+
+        return k_grad
+
+
+class Matern32(Covariance):
+    R"""Matern-3/2: :math:`(1 + \sqrt{3} r / l) e^{-\sqrt{3} r / l}`
+    (parity: ``mellon/cov.py:6-100``)."""
+
+    def __init__(self, ls=1.0, active_dims=None):
+        super().__init__()
+        self.ls = ls
+        self.active_dims = active_dims
+
+    def k(self, x, y):
+        x = select_active_dims(x, self.active_dims)
+        y = select_active_dims(y, self.active_dims)
+        r = jnp.sqrt(3.0) * distance(x, y) / self.ls
+        return (r + 1) * jnp.exp(-r)
+
+    def k_grad(self, x):
+        x_shape = x.shape
+        active_dims = self.active_dims
+        x = select_active_dims(x, active_dims)
+        dist_grad = distance_grad(x)
+        factor = jnp.sqrt(3.0) / self.ls
+
+        def k_grad(y):
+            y_shape = y.shape
+            y = select_active_dims(y, active_dims)
+            dist, grad = dist_grad(y)
+            r = -factor * dist[..., None]
+            dr = factor * grad
+            similarity_grad = r * dr * jnp.exp(r)
+            target_shape = x_shape[:-1] + y_shape
+            return expand_to_inactive(similarity_grad, target_shape, active_dims)
+
+        return k_grad
+
+
+class Matern52(Covariance):
+    R"""Matern-5/2 (the default kernel):
+    :math:`(1 + \sqrt{5} r / l + 5 r^2 / (3 l^2)) e^{-\sqrt{5} r / l}`
+    (parity: ``mellon/cov.py:103-202``)."""
+
+    def __init__(self, ls=1.0, active_dims=None):
+        super().__init__()
+        self.ls = ls
+        self.active_dims = active_dims
+
+    def k(self, x, y):
+        x = select_active_dims(x, self.active_dims)
+        y = select_active_dims(y, self.active_dims)
+        r = jnp.sqrt(5.0) * distance(x, y) / self.ls
+        return (r + jnp.square(r) / 3 + 1) * jnp.exp(-r)
+
+    def k_grad(self, x):
+        x_shape = x.shape
+        active_dims = self.active_dims
+        x = select_active_dims(x, active_dims)
+        dist_grad = distance_grad(x)
+        factor = jnp.sqrt(5.0) / self.ls
+
+        def k_grad(y):
+            y_shape = y.shape
+            y = select_active_dims(y, active_dims)
+            dist, grad = dist_grad(y)
+            r = factor * dist[..., None]
+            dr = factor * grad
+            similarity_grad = -1 / 3 * jnp.exp(-r) * r * (r + 1) * dr
+            target_shape = x_shape[:-1] + y_shape
+            return expand_to_inactive(similarity_grad, target_shape, active_dims)
+
+        return k_grad
+
+
+class ExpQuad(Covariance):
+    R"""Squared-exponential: :math:`e^{-r^2 / (2 l^2)}`
+    (parity: ``mellon/cov.py:205-299``)."""
+
+    def __init__(self, ls=1.0, active_dims=None):
+        super().__init__()
+        self.ls = ls
+        self.active_dims = active_dims
+
+    def k(self, x, y):
+        x = select_active_dims(x, self.active_dims)
+        y = select_active_dims(y, self.active_dims)
+        r = distance(x, y) / self.ls
+        return jnp.exp(-jnp.square(r) / 2)
+
+    def k_grad(self, x):
+        x_shape = x.shape
+        active_dims = self.active_dims
+        x = select_active_dims(x, active_dims)
+        dist_grad = distance_grad(x)
+
+        def k_grad(y):
+            y_shape = y.shape
+            y = select_active_dims(y, active_dims)
+            dist, grad = dist_grad(y)
+            r = dist[..., None] / self.ls
+            dr = grad / self.ls
+            similarity_grad = -r * dr * jnp.exp(-jnp.square(r) / 2)
+            target_shape = x_shape[:-1] + y_shape
+            return expand_to_inactive(similarity_grad, target_shape, active_dims)
+
+        return k_grad
+
+
+class Exponential(Covariance):
+    R"""Exponential: :math:`e^{-r / (2 l)}` (parity: ``mellon/cov.py:302-396``)."""
+
+    def __init__(self, ls=1.0, active_dims=None):
+        super().__init__()
+        self.ls = ls
+        self.active_dims = active_dims
+
+    def k(self, x, y):
+        x = select_active_dims(x, self.active_dims)
+        y = select_active_dims(y, self.active_dims)
+        r = distance(x, y) / self.ls
+        return jnp.exp(-r / 2)
+
+    def k_grad(self, x):
+        x_shape = x.shape
+        active_dims = self.active_dims
+        x = select_active_dims(x, active_dims)
+        dist_grad = distance_grad(x)
+
+        def k_grad(y):
+            y_shape = y.shape
+            y = select_active_dims(y, active_dims)
+            dist, grad = dist_grad(y)
+            dr = grad / self.ls
+            r = dist[..., None] / self.ls
+            similarity_grad = -1 / 2 * dr * jnp.exp(-r / 2)
+            target_shape = x_shape[:-1] + y_shape
+            return expand_to_inactive(similarity_grad, target_shape, active_dims)
+
+        return k_grad
+
+
+class RatQuad(Covariance):
+    R"""Rational quadratic: :math:`(1 + r^2/(2\alpha l^2))^{-\alpha}`
+    (parity: ``mellon/cov.py:399-499``)."""
+
+    def __init__(self, alpha=1.0, ls=1.0, active_dims=None):
+        super().__init__()
+        self.ls = ls
+        self.alpha = alpha
+        self.active_dims = active_dims
+
+    def k(self, x, y):
+        x = select_active_dims(x, self.active_dims)
+        y = select_active_dims(y, self.active_dims)
+        r = distance(x, y) / self.ls
+        return (jnp.square(r) / (2 * self.alpha) + 1) ** -self.alpha
+
+    def k_grad(self, x):
+        x_shape = x.shape
+        active_dims = self.active_dims
+        x = select_active_dims(x, active_dims)
+        dist_grad = distance_grad(x)
+
+        def k_grad(y):
+            y_shape = y.shape
+            y = select_active_dims(y, active_dims)
+            dist, grad = dist_grad(y)
+            r = dist[..., None] / self.ls
+            dr = grad / self.ls
+            similarity_grad = (
+                -r * dr * (jnp.square(r) / (2 * self.alpha) + 1) ** (-self.alpha - 1)
+            )
+            target_shape = x_shape[:-1] + y_shape
+            return expand_to_inactive(similarity_grad, target_shape, active_dims)
+
+        return k_grad
+
+
+class Linear(Covariance):
+    R"""Linear: :math:`x \cdot y / l` (parity: ``mellon/cov.py:502-592``)."""
+
+    def __init__(self, ls=1.0, active_dims=None):
+        super().__init__()
+        self.ls = ls
+        self.active_dims = active_dims
+
+    def k(self, x, y):
+        x = select_active_dims(x, self.active_dims)
+        y = select_active_dims(y, self.active_dims)
+        return jnp.einsum("ij,kj->ik", x, y) / self.ls
+
+    def k_grad(self, x):
+        x_shape = x.shape
+        active_dims = self.active_dims
+        x = select_active_dims(x, active_dims)
+
+        def k_grad(y):
+            y_shape = y.shape
+            y = select_active_dims(y, active_dims)
+            similarity_grad = jnp.repeat(x[:, None, :], y.shape[0], axis=1) / self.ls
+            target_shape = x_shape[:-1] + y_shape
+            return expand_to_inactive(similarity_grad, target_shape, active_dims)
+
+        return k_grad

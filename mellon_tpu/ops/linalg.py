@@ -1,0 +1,162 @@
+"""Covariance decompositions: Cholesky, truncated eigh, Nyström variants.
+
+Behavioural parity target: ``mellon/decomposition.py``.  TPU-first notes: all
+factorizations run on-device through XLA's blocked Cholesky/eigh; the
+precision-critical spot is the m x m landmark Cholesky at small jitter
+(``mellon/decomposition.py:79-123``), for which :func:`safe_cholesky`
+escalates the jitter geometrically instead of failing outright in f32.
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..utils.util import stabilize, DEFAULT_JITTER
+
+DEFAULT_RANK = 0.99
+DEFAULT_SIGMA = 0
+
+logger = logging.getLogger("mellon_tpu")
+
+
+def cholesky_with_check(K, jitter=DEFAULT_JITTER):
+    """Cholesky of an already-stabilized matrix with the reference's NaN
+    error semantics (``mellon/decomposition.py:114-123``)."""
+    L = jnp.linalg.cholesky(K)
+    if bool(jnp.any(jnp.isnan(L))):
+        message = (
+            f"Covariance not positively definite with jitter={jitter}. "
+            "Consider increasing the jitter for numerical stabilization."
+        )
+        logger.error(message)
+        raise ValueError(message)
+    return L
+
+
+def safe_cholesky(K, jitter=DEFAULT_JITTER, max_tries=0):
+    """Cholesky with optional geometric jitter escalation.
+
+    With ``max_tries=0`` this is exactly the reference behaviour (raise on
+    NaN).  On TPU (f32) callers may pass ``max_tries>0`` to retry with
+    10x jitter before giving up — trading a tiny bias for robustness.
+    """
+    A = stabilize(K, jitter)
+    L = jnp.linalg.cholesky(A)
+    tries = 0
+    while bool(jnp.any(jnp.isnan(L))) and tries < max_tries:
+        jitter = jitter * 10
+        tries += 1
+        logger.warning(f"Cholesky failed; retrying with jitter={jitter:.2e}.")
+        A = stabilize(K, jitter)
+        L = jnp.linalg.cholesky(A)
+    if bool(jnp.any(jnp.isnan(L))):
+        message = (
+            f"Covariance not positively definite with jitter={jitter}. "
+            "Consider increasing the jitter for numerical stabilization."
+        )
+        logger.error(message)
+        raise ValueError(message)
+    return L
+
+
+def _eigendecomposition(A, rank=DEFAULT_RANK):
+    """Top-eigenpair selection keeping a given count or eigenvalue-mass
+    fraction (parity: ``mellon/decomposition.py:23-76``)."""
+    s, v = jnp.linalg.eigh(A)
+    if bool(jnp.any(s <= 0)):
+        logger.warning(
+            "Singuarity detected in covariance matrix. "
+            "This can complicated prediction. Consider raising the jitter."
+        )
+    p = int(jnp.count_nonzero(s > 0))
+    summed = jnp.cumsum(s[: -p - 1 : -1])
+    if isinstance(rank, float):
+        target = summed[-1] * rank
+        p = int(jnp.searchsorted(summed, target))
+        if p == 0:
+            logger.warning(
+                f"Low variance percentage {rank:%} indicated rank=0. "
+                "Bumping rank to 1."
+            )
+            p = 1
+    else:
+        p = min(rank, p)
+    if (isinstance(rank, float) and rank < 1) or rank < len(summed):
+        frac = summed[p] / summed[-1]
+        logger.info(f"Recovering {float(frac):%} variance in eigendecomposition.")
+    return s[-p:], v[:, -p:]
+
+
+def _full_rank(x, cov_func, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER):
+    """L = chol(K + max(sigma^2, jitter) I)
+    (parity: ``mellon/decomposition.py:79-123``)."""
+    sigma2 = jnp.square(sigma)
+    sigma2 = jnp.where(sigma2 < jitter, jitter, sigma2)
+    W = stabilize(cov_func(x, x), sigma2)
+    return cholesky_with_check(W, jitter)
+
+
+def _full_decomposition_low_rank(
+    x, cov_func, rank=DEFAULT_RANK, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER
+):
+    """Truncated eigendecomposition of the full covariance
+    (parity: ``mellon/decomposition.py:126-171``)."""
+    sigma2 = jnp.square(sigma)
+    sigma2 = jnp.where(sigma2 < jitter, jitter, sigma2)
+    W = stabilize(cov_func(x, x), sigma2)
+    s, v = _eigendecomposition(W, rank=rank)
+    return v * jnp.sqrt(s)
+
+
+def _standard_low_rank(
+    x, cov_func, xu, Lp=None, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER
+):
+    """Sparse-Cholesky L: triangular solve of the cross-covariance against
+    the landmark Cholesky (parity: ``mellon/decomposition.py:174-210``).
+
+    The (n, m) solve maps to MXU-tiled TRSM in XLA; rows of L shard
+    naturally over a cells axis.
+    """
+    C = cov_func(x, xu)
+    if Lp is None:
+        Lp = _full_rank(xu, cov_func, sigma=sigma, jitter=jitter)
+    L = solve_triangular(Lp, C.T, lower=True).T
+    return L
+
+
+def _modified_low_rank(
+    x, cov_func, xu, rank=DEFAULT_RANK, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER
+):
+    """Improved Nyström: QR of the cross-covariance, double
+    eigendecomposition (parity: ``mellon/decomposition.py:213-266``)."""
+    sigma2 = jnp.square(sigma)
+    sigma2 = jnp.where(sigma2 < jitter, jitter, sigma2)
+    W = stabilize(cov_func(xu, xu), sigma2)
+    C = cov_func(x, xu)
+    Q, R = jnp.linalg.qr(C, mode="reduced")
+    s, v = _eigendecomposition(W, rank=xu.shape[0])
+    T = R @ v
+    S, V = _eigendecomposition(T / s @ T.T, rank=rank)
+    L = Q @ V * jnp.sqrt(S)
+    return L
+
+
+def solve_psd_from_cholesky(L, b):
+    """Solve (L Lᵀ) z = b given lower Cholesky factor L."""
+    return solve_triangular(L.T, solve_triangular(L, b, lower=True))
+
+
+def ridge_solve(L, target, alpha=1.0):
+    """Minimize ||L z - target||² + alpha ||z||² on device.
+
+    Replaces sklearn's host-side Ridge warm start
+    (``mellon/parameters.py:877-896``).  Solved via the normal equations with
+    a Cholesky of (LᵀL + alpha I) — an m x m MXU matmul + factorization.
+    """
+    m = L.shape[1]
+    G = L.T @ L + alpha * jnp.eye(m, dtype=L.dtype)
+    Lc = jnp.linalg.cholesky(G)
+    rhs = L.T @ target
+    return solve_psd_from_cholesky(Lc, rhs)

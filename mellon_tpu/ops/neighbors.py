@@ -1,0 +1,136 @@
+"""Exact on-device nearest neighbors and local fractal dimension.
+
+Replaces the reference's host-side dependencies: pynndescent (approximate
+kNN, ``mellon/parameters.py:352-433``) and sklearn BallTree/KDTree
+(``mellon/util.py:486-536``).  TPU-first design: the pairwise-distance tile
+is one MXU matmul per (block x n) strip, reduced with ``lax.top_k`` — exact,
+deterministic, O(n²) FLOPs that the MXU eats for breakfast at the scales
+Mellon targets (distances for 100k cells ≈ 1e10 FLOPs ≈ milliseconds).
+Memory stays bounded by processing queries in row blocks with ``lax.map``.
+"""
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.util import distance
+
+logger = logging.getLogger("mellon_tpu")
+
+DEFAULT_BATCH_SIZE = 1024
+
+
+@partial(jax.jit, static_argnames=("k", "batch_size"))
+def _knn_blocked(query, x, k, batch_size):
+    """Top-k smallest distances from each query row to all of x.
+
+    Returns (distances (nq, k), indices (nq, k)), sorted ascending.
+    """
+    nq = query.shape[0]
+    n_blocks = -(-nq // batch_size)
+    pad = n_blocks * batch_size - nq
+    # Pad with the first row; padded results are sliced off below.
+    query_padded = jnp.concatenate(
+        [query, jnp.broadcast_to(query[:1], (pad,) + query.shape[1:])], axis=0
+    )
+    blocks = query_padded.reshape(n_blocks, batch_size, query.shape[1])
+
+    def block_topk(qb):
+        d = distance(qb, x)
+        neg_vals, idx = jax.lax.top_k(-d, k)
+        return -neg_vals, idx
+
+    dists, idx = jax.lax.map(block_topk, blocks)
+    dists = dists.reshape(n_blocks * batch_size, k)[:nq]
+    idx = idx.reshape(n_blocks * batch_size, k)[:nq]
+    return dists, idx
+
+
+def knn(x, k, query=None, batch_size=DEFAULT_BATCH_SIZE):
+    """Exact k nearest neighbors.
+
+    Parameters
+    ----------
+    x : (n, d) array — the database points.
+    k : int — number of neighbors to return.
+    query : (nq, d) array, optional — defaults to ``x``; when querying the
+        database itself the self-neighbor (distance ~0) is *included*, like
+        the reference's ``tree.query(x, k)``.
+    batch_size : int — query rows per distance tile.
+
+    Returns
+    -------
+    (distances, indices) of shape (nq, k), ascending by distance.
+    """
+    x = jnp.atleast_2d(x)
+    if query is None:
+        query = x
+    else:
+        query = jnp.atleast_2d(query)
+    k = int(k)
+    if k > x.shape[0]:
+        raise ValueError(
+            f"k={k} must not exceed the number of database points {x.shape[0]}."
+        )
+    return _knn_blocked(query, x, k, int(min(batch_size, query.shape[0])))
+
+
+def knn_distances(x, k, batch_size=DEFAULT_BATCH_SIZE):
+    """Distances to the k nearest *other* points for every point of x.
+
+    Exact-device replacement for ``mellon/parameters.py:352-404``
+    (pynndescent): computes k+1 neighbors (self included) and drops the
+    self column.
+    """
+    dists, _ = knn(x, k + 1, batch_size=batch_size)
+    return dists[:, 1:]
+
+
+def nn_distances(x, batch_size=DEFAULT_BATCH_SIZE):
+    """Distance to the single nearest neighbor of each point
+    (replacement for ``mellon/parameters.py:407-433``)."""
+    return knn_distances(x, 1, batch_size=batch_size)[:, 0]
+
+
+def local_dimensionality(x, k=30, x_query=None, neighbor_idx=None):
+    """Local fractal dimension via a log-log regression over neighborhood
+    pairwise distances.
+
+    Behavioural parity: ``mellon/util.py:486-536``; the BallTree/KDTree
+    search is replaced by the exact blocked device kNN and the per-query
+    ``lstsq`` by a closed-form simple-regression slope (identical result).
+    """
+    x = jnp.atleast_2d(x)
+    if k > x.shape[0]:
+        logger.warning(
+            f"Number of nearest neighbors (k={k}) is greater than the "
+            f"number of samples ({x.shape[0]}). Setting k to the number of samples."
+        )
+        k = x.shape[0]
+    if neighbor_idx is None:
+        if x_query is None:
+            x_query = x
+        _, idx = knn(x, k, query=x_query)
+        neighbors = x[idx]
+    else:
+        x_query = x if x_query is None else x_query
+        neighbors = x[neighbor_idx]
+
+    i, j = jnp.triu_indices(k, k=1)
+    neighbor_distances = jnp.linalg.norm(
+        neighbors[..., i, :] - neighbors[..., j, :], axis=-1
+    )
+    neighborhood_distances = jnp.sort(neighbor_distances, axis=-1)
+
+    kc2 = k * (k - 1) // 2
+    a = jnp.log(neighborhood_distances)  # (nq, kc2)
+    y = jnp.log(jnp.arange(1, kc2 + 1, dtype=a.dtype))  # (kc2,)
+
+    # slope of y on a with intercept, per query point (closed-form lstsq)
+    a_mean = a.mean(axis=-1, keepdims=True)
+    y_mean = y.mean()
+    cov = jnp.sum((a - a_mean) * (y - y_mean), axis=-1)
+    var = jnp.sum(jnp.square(a - a_mean), axis=-1)
+    return cov / var

@@ -1,0 +1,18 @@
+"""Test configuration: CPU backend with 8 virtual devices and x64 enabled.
+
+The virtual 8-device mesh lets the DP/chain-sharding logic be exercised
+without TPU hardware (cf. SURVEY.md §4); x64 matches the reference's CPU
+numerics so tolerance-based parity tests are meaningful.
+
+Implementation note: the platform is forced via ``jax.config`` rather than
+``JAX_PLATFORMS``/``XLA_FLAGS`` env vars because this container may pre-import
+jax with a TPU-tunnel PJRT plugin (sitecustomize) — env vars set here would be
+too late, and ``--xla_force_host_platform_device_count`` stalls the tunnel's
+backend init for minutes.  ``jax.config.update`` after import wins cleanly.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,246 @@
+"""Unit tests for the ops layer: distances, kernels, decompositions,
+neighbors, k-means.  Mirrors the reference's test strategy for
+``tests/test_cov.py``, ``tests/test_util.py`` (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mellon_tpu.ops import (
+    Covariance,
+    ExpQuad,
+    Exponential,
+    Linear,
+    Matern32,
+    Matern52,
+    RatQuad,
+    _eigendecomposition,
+    _full_decomposition_low_rank,
+    _full_rank,
+    _modified_low_rank,
+    _standard_low_rank,
+    k_means,
+    knn,
+    knn_distances,
+    local_dimensionality,
+    nn_distances,
+    ridge_solve,
+)
+from mellon_tpu.utils.util import distance, distance_grad, mle, stabilize
+
+ALL_KERNELS = [Matern32, Matern52, ExpQuad, Exponential, RatQuad, Linear]
+
+
+@pytest.fixture(scope="module")
+def data():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (50, 3))
+    y = jax.random.normal(jax.random.PRNGKey(1), (20, 3))
+    return x, y
+
+
+def test_distance_matches_naive(data):
+    x, y = data
+    d = distance(x, y)
+    naive = np.sqrt(
+        ((np.asarray(x)[:, None, :] - np.asarray(y)[None, :, :]) ** 2).sum(-1)
+    )
+    np.testing.assert_allclose(np.asarray(d), naive, atol=1e-5)
+
+
+def test_distance_grad(data):
+    x, y = data
+    dist, grad = distance_grad(x)(y)
+    np.testing.assert_allclose(np.asarray(dist), np.asarray(distance(x, y)), atol=1e-12)
+    # compare to autodiff of distance wrt y
+    autodiff = jax.jacfwd(lambda yy: distance(x, yy))(y)
+    # autodiff shape (n, m, m, d): gradient wrt y_j only nonzero at j
+    ad = np.asarray(autodiff)
+    idx = np.arange(y.shape[0])
+    ad_diag = ad[:, idx, idx, :]
+    np.testing.assert_allclose(np.asarray(grad), ad_diag, atol=1e-6)
+
+
+@pytest.mark.parametrize("Kernel", ALL_KERNELS)
+def test_kernel_evaluation_and_diag(Kernel, data):
+    x, y = data
+    cov = Kernel(ls=1.3) if Kernel is not RatQuad else Kernel(alpha=1.2, ls=1.3)
+    K = cov(x, y)
+    assert K.shape == (50, 20)
+    diag = cov.diag(x)
+    np.testing.assert_allclose(
+        np.asarray(diag), np.asarray(jnp.diagonal(cov(x, x))), atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("Kernel", ALL_KERNELS)
+def test_kernel_grad_matches_autodiff(Kernel, data):
+    x, y = data
+    cov = Kernel(ls=1.3)
+    grad = cov.k_grad(x)(y)
+    auto = Covariance.k_grad(cov, x)(y)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(auto), atol=1e-5)
+
+
+def test_kernel_algebra(data):
+    x, y = data
+    c1, c2 = Matern52(ls=1.0), ExpQuad(ls=2.0)
+    np.testing.assert_allclose(
+        np.asarray((c1 + c2)(x, y)), np.asarray(c1(x, y) + c2(x, y)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray((c1 * c2)(x, y)), np.asarray(c1(x, y) * c2(x, y)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray((c1**2.0)(x, y)), np.asarray(c1(x, y) ** 2.0), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray((c1 + 1.5)(x, y)), np.asarray(c1(x, y) + 1.5), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray((c1 * 0.5)(x, y)), np.asarray(c1(x, y) * 0.5), atol=1e-12
+    )
+
+
+def test_kernel_algebra_grads(data):
+    x, y = data
+    c1, c2 = Matern52(ls=1.0), ExpQuad(ls=2.0)
+    for comp in [c1 + c2, c1 * c2, c1**2.0, c1 * 0.5]:
+        grad = comp.k_grad(x)(y)
+        auto = Covariance.k_grad(comp, x)(y)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(auto), atol=1e-5)
+
+
+def test_active_dims_product_kernel(data):
+    x, _ = data
+    cov = Matern52(ls=1.0, active_dims=slice(None, -1)) * Matern52(
+        ls=0.5, active_dims=-1
+    )
+    K = cov(x, x)
+    K_manual = Matern52(ls=1.0)(x[:, :-1], x[:, :-1]) * Matern52(ls=0.5)(
+        x[:, -1:], x[:, -1:]
+    )
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_manual), atol=1e-12)
+
+
+def test_kernel_serialization_roundtrip(data):
+    x, y = data
+    cov = Matern52(ls=1.7, active_dims=slice(None, -1)) * ExpQuad(
+        ls=0.3, active_dims=-1
+    )
+    restored = Covariance.from_json(cov.to_json())
+    np.testing.assert_allclose(
+        np.asarray(cov(x, y)), np.asarray(restored(x, y)), atol=1e-12
+    )
+
+
+def test_full_rank_decomposition(data):
+    x, _ = data
+    cov = Matern52(ls=1.0)
+    L = _full_rank(x, cov, jitter=1e-6)
+    K = stabilize(cov(x, x), 1e-6)
+    np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(K), atol=1e-8)
+
+
+def test_low_rank_decompositions(data):
+    x, _ = data
+    xu = x[:15]
+    cov = Matern52(ls=2.0)
+    K = cov(x, x)
+
+    L_nys = _full_decomposition_low_rank(x, cov, rank=0.999)
+    assert L_nys.shape[0] == 50
+    err = np.abs(np.asarray(L_nys @ L_nys.T) - np.asarray(K)).max()
+    assert err < 1e-2
+
+    L_std = _standard_low_rank(x, cov, xu)
+    assert L_std.shape == (50, 15)
+
+    L_mod = _modified_low_rank(x, cov, xu, rank=0.99)
+    assert L_mod.shape[0] == 50
+    assert L_mod.shape[1] <= 15
+
+
+def test_eigendecomposition_rank_selection():
+    A = jnp.diag(jnp.asarray([10.0, 5.0, 1.0, 0.1, 0.01]))
+    s, v = _eigendecomposition(A, rank=3)
+    assert s.shape == (3,)
+    s, v = _eigendecomposition(A, rank=0.9)
+    # reference semantics (mellon/decomposition.py:59-62): p = searchsorted of
+    # the cumulative eigenvalue mass at target 0.9*16.11=14.5 -> p=1
+    assert s.shape[0] == 1
+    np.testing.assert_allclose(float(s[0]), 10.0)
+
+
+def test_cholesky_failure_raises():
+    A = jnp.asarray([[1.0, 2.0], [2.0, 1.0]])  # not PSD
+
+    class FakeCov:
+        def __call__(self, x, y):
+            return A
+
+    with pytest.raises(ValueError, match="not positively definite"):
+        _full_rank(jnp.zeros((2, 1)), FakeCov(), jitter=1e-6)
+
+
+def test_knn_exact():
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (40, 2))
+    d_all = np.array(distance(x, x))
+    np.fill_diagonal(d_all, np.inf)
+    expect_nn = d_all.min(axis=1)
+    got = np.asarray(nn_distances(x))
+    np.testing.assert_allclose(got, expect_nn, atol=1e-5)
+
+    k = 5
+    got_k = np.asarray(knn_distances(x, k))
+    expect_k = np.sort(d_all, axis=1)[:, :k]
+    np.testing.assert_allclose(got_k, expect_k, atol=1e-5)
+
+
+def test_knn_query():
+    x = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [5.0, 5.0]])
+    q = jnp.asarray([[0.9, 0.1]])
+    d, i = knn(x, 2, query=q)
+    assert int(i[0, 0]) == 1
+
+
+def test_kmeans_landmarks():
+    key = jax.random.PRNGKey(4)
+    centers = jnp.asarray([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    pts = centers[jax.random.randint(key, (300,), 0, 3)] + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(5), (300, 2)
+    )
+    landmarks = k_means(pts, 3, random_state=0)
+    assert landmarks.shape == (3, 2)
+    # each true center should have a landmark nearby
+    d = np.asarray(distance(centers, landmarks))
+    assert d.min(axis=1).max() < 1.0
+
+
+def test_local_dimensionality():
+    key = jax.random.PRNGKey(6)
+    # planar data embedded in 3D should have local dim ~ 2
+    x2 = jax.random.normal(key, (500, 2))
+    x = jnp.concatenate([x2, jnp.zeros((500, 1))], axis=1)
+    dims = local_dimensionality(x, k=30)
+    assert 1.5 < float(dims.mean()) < 2.5
+
+
+def test_ridge_solve_matches_normal_equations():
+    key = jax.random.PRNGKey(7)
+    L = jax.random.normal(key, (30, 10))
+    target = jax.random.normal(jax.random.PRNGKey(8), (30,))
+    z = ridge_solve(L, target, alpha=1.0)
+    expect = np.linalg.solve(
+        np.asarray(L.T @ L) + np.eye(10), np.asarray(L.T @ target)
+    )
+    np.testing.assert_allclose(np.asarray(z), expect, atol=1e-8)
+
+
+def test_mle():
+    nn = jnp.asarray([0.1, 0.5, 1.0])
+    vals = mle(nn, 2)
+    assert vals.shape == (3,)
+    assert bool(vals[0] > vals[2])
