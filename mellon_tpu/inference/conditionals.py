@@ -1,0 +1,805 @@
+"""Conditional-GP predictors: three conditioning families × three flavors.
+
+Behavioural parity target: ``mellon/conditional.py`` (975 LoC):
+
+* :class:`_FullConditional` — exact conditioning on all training points
+  (``mellon/conditional.py:183-441``);
+* :class:`_LandmarksConditional` — Nyström/SoR conditioning through inducing
+  points with the sigma-adjusted sparse solve
+  (``mellon/conditional.py:455-735``);
+* :class:`_LandmarksConditionalCholesky` — latents live on the landmarks,
+  weights = Lᵀ⁻¹ z (``mellon/conditional.py:750-963``).
+
+Each family provides ``_mean``, ``_covariance``, ``_mean_covariance``,
+``_leverage`` (hat-matrix diagonal), and ``_obs_variance`` (HC3-corrected
+residuals smoothed by a second GP), plus per-feature / per-observation sigma
+via vmapped per-column solves.  All solves are XLA Cholesky/TRSM on device.
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..ops.linalg import DEFAULT_SIGMA
+from ..utils.util import DEFAULT_JITTER, add_variance, ensure_2d, stabilize
+from .predictors import ExpPredictor, Predictor, PredictorTime
+
+logger = logging.getLogger("mellon_tpu")
+
+
+# ---------------------------------------------------------------------------
+# sigma-shape disambiguation helpers
+# ---------------------------------------------------------------------------
+
+def _is_per_feature_sigma(sigma, y):
+    """Detect per-feature sigma shapes (p,), (1, p), (n, p)
+    (parity: ``mellon/conditional.py:13-36``)."""
+    if sigma is None or jnp.isscalar(sigma) or jnp.ndim(sigma) == 0:
+        return False
+    if (
+        jnp.ndim(sigma) == 2
+        and sigma.shape[0] == 1
+        and jnp.ndim(y) == 2
+        and sigma.shape[1] == y.shape[1]
+    ):
+        return True
+    if jnp.ndim(sigma) == 2 and jnp.ndim(y) == 2 and sigma.shape == y.shape:
+        return True
+    if jnp.ndim(sigma) == 1 and jnp.ndim(y) == 2 and sigma.shape[0] == y.shape[1]:
+        if sigma.shape[0] == y.shape[0]:
+            logger.warning(
+                f"sigma length {sigma.shape[0]} matches both n_obs and "
+                "n_features. Interpreting as per-feature. Pass sigma with "
+                "shape (n, 1) for per-observation."
+            )
+        return True
+    return False
+
+
+def _normalize_per_feature_sigma(sigma):
+    """(1, p) -> (p,) (parity: ``mellon/conditional.py:39-43``)."""
+    if jnp.ndim(sigma) == 2 and sigma.shape[0] == 1:
+        return jnp.squeeze(sigma, axis=0)
+    return sigma
+
+
+def _check_covariance(obj):
+    if not hasattr(obj, "L"):
+        raise ValueError(
+            "The predictor was computed without covariance. "
+            "Recompute setting `with_uncertainty=True.`"
+        )
+
+
+def _check_uncertainty(obj):
+    if not hasattr(obj, "W"):
+        raise ValueError(
+            "The predictor was computed without uncertainty, e.g., using ADVI. "
+            "Recompute setting `with_uncertainty=True.` and define "
+            "`pre_transformation_std`, e.g., by using `optimizer='advi'`."
+        )
+
+
+def _check_obs_variance(obj):
+    if not hasattr(obj, "variance_weights"):
+        raise ValueError(
+            "The predictor was computed without obs_variance. "
+            "Recompute setting `obs_variance=True`."
+        )
+
+
+def _get_L(x, cov_func, jitter=DEFAULT_JITTER, y_cov_factor=None, K=None):
+    """Cholesky of k(x,x)+noise with the reference's NaN error semantics
+    (parity: ``mellon/conditional.py:69-81``)."""
+    if K is None:
+        K = cov_func(x, x)
+    K = add_variance(K, y_cov_factor, jitter=jitter)
+    L = jnp.linalg.cholesky(K)
+    if bool(jnp.any(jnp.isnan(L))):
+        message = (
+            f"Covariance not positively definite with jitter={jitter}. "
+            "Consider increasing the jitter for numerical stabilization."
+        )
+        logger.error(message)
+        raise ValueError(message)
+    return L
+
+
+def _sigma_to_y_cov_factor(sigma, y_cov_factor, n):
+    """Lift sigma to a covariance left-factor
+    (parity: ``mellon/conditional.py:101-135``)."""
+    if sigma is None and y_cov_factor is None:
+        message = (
+            "No input uncertainty specified. Make sure to set `sigma` or "
+            "`pre_transformation_std`, "
+            'e.g., by using `optimizer="advi", to quantify uncertainty '
+            "of the prediction."
+        )
+        logger.error(message)
+        raise ValueError(message)
+    if y_cov_factor is not None and sigma is not None and bool(jnp.any(sigma > 0)):
+        raise ValueError(
+            "One can specify either `sigma` or `y_cov_factor` to describe "
+            "input noise, but not both."
+        )
+    if y_cov_factor is not None:
+        return y_cov_factor
+
+    sigma_ndim = jnp.ndim(sigma)
+    if sigma_ndim == 0:
+        return jnp.eye(n) * sigma
+    if sigma_ndim == 1:
+        return jnp.diag(sigma)
+    if sigma_ndim > 1:
+        y_cov_factor = jnp.zeros((n,) + sigma.shape)
+
+        def update_diag(i, ycf, val):
+            return ycf.at[i, ...].set(val)
+
+        return jax.vmap(update_diag, in_axes=(0, 0, 0), out_axes=0)(
+            jnp.arange(n), y_cov_factor, sigma
+        )
+    raise ValueError(f"Unsupported `sigma` dimensions `{sigma_ndim}`.")
+
+
+def _process_sigma(sigma, r, A, jitter=DEFAULT_JITTER):
+    """Interpret sigma (scalar / element-wise / full covariance) and return
+    sigma-adjusted (r_l, A_l) (parity: ``mellon/conditional.py:138-180``)."""
+    if jnp.isscalar(sigma) or (sigma.shape == r.shape and r.ndim <= 1):
+        logger.info("Sigma interpreted as element-wise standard deviation.")
+        sigma2 = jnp.square(sigma)
+        r_l = r / sigma2
+        A_l = A / sigma2
+    elif sigma.shape == r.shape and r.ndim > 1:
+        logger.error("Sigma as distinct noise per output is not implemented.")
+        raise NotImplementedError(
+            "FunctionEstimator not implemented for multiple noises."
+        )
+    elif sigma.shape == (r.shape[0],) + r.shape and r.ndim > 1:
+        logger.error(
+            "Sigma as distinct covariance matrix per output is not implemented."
+        )
+        raise NotImplementedError(
+            "FunctionEstimator not implemented for multiple covariance matrices."
+        )
+    elif sigma.shape == (r.shape[0], r.shape[0]):
+        logger.info("Sigma interpreted as full covariance matrix.")
+        L_s = jnp.linalg.cholesky(stabilize(sigma, jitter))
+        r_l = solve_triangular(L_s.T, solve_triangular(L_s, r, lower=True))
+        A_l = solve_triangular(L_s.T, solve_triangular(L_s, A, lower=True))
+    else:
+        raise ValueError("Unsupported sigma configuration.")
+    return r_l, A_l
+
+
+def _sparse_solve(Lp, A, r_l, A_l):
+    """Sparse-GP weight solve: B = I + A_l Aᵀ, weights = Lpᵀ⁻¹ L_Bᵀ⁻¹ L_B⁻¹ A r_l
+    (parity: ``mellon/conditional.py:57-66``).  Returns (weights, L_B)."""
+    LBB = stabilize(A_l @ A.T, 1)
+    L_B = jnp.linalg.cholesky(LBB)
+    c = solve_triangular(L_B, A @ r_l, lower=True)
+    weights = solve_triangular(Lp.T, solve_triangular(L_B.T, c))
+    return weights, L_B
+
+
+# ---------------------------------------------------------------------------
+# full conditional
+# ---------------------------------------------------------------------------
+
+class _FullConditional:
+    """Exact GP conditioning on all training points
+    (parity: ``mellon/conditional.py:183-441``)."""
+
+    def __init__(
+        self,
+        x,
+        y,
+        mu,
+        cov_func,
+        L=None,
+        sigma=DEFAULT_SIGMA,
+        jitter=DEFAULT_JITTER,
+        y_cov_factor=None,
+        y_is_mean=False,
+        with_uncertainty=False,
+        obs_variance=False,
+    ):
+        x = ensure_2d(x)
+        original_sigma = sigma
+        per_feature = _is_per_feature_sigma(sigma, y)
+
+        K = cov_func(x, x)
+
+        if per_feature:
+            sigma_pf = _normalize_per_feature_sigma(sigma)
+            n = x.shape[0]
+            r = y - mu
+
+            def _solve_one(sigma_g, r_g):
+                L_g = jnp.linalg.cholesky(
+                    stabilize(K + sigma_g**2 * jnp.eye(n), jitter)
+                )
+                return solve_triangular(
+                    L_g.T, solve_triangular(L_g, r_g, lower=True)
+                )
+
+            sigma_in_axis = 1 if jnp.ndim(sigma_pf) == 2 else 0
+            weights = jax.vmap(_solve_one, in_axes=(sigma_in_axis, 1), out_axes=1)(
+                sigma_pf, r
+            )
+        else:
+            if L is None:
+                logger.info(
+                    "Recomputing covariance decomposition for predictive function."
+                )
+                if y_is_mean:
+                    L = _get_L(x, cov_func, jitter, K=K)
+                else:
+                    y_cov_factor = _sigma_to_y_cov_factor(
+                        sigma, y_cov_factor, x.shape[0]
+                    )
+                    sigma = None
+                    L = _get_L(x, cov_func, jitter, y_cov_factor, K=K)
+            r = y - mu
+            weights = solve_triangular(L.T, solve_triangular(L, r, lower=True))
+
+        self.cov_func = cov_func
+        self.x = x
+        self.weights = weights
+        self.mu = mu
+        self.jitter = jitter
+        self.sigma = original_sigma
+        self.per_feature_sigma = per_feature
+        self.n_input_features = x.shape[1]
+        self.n_obs = x.shape[0]
+
+        self._state_variables = {
+            "x", "weights", "mu", "jitter", "sigma", "per_feature_sigma",
+        }
+
+        if obs_variance:
+            self._compute_obs_variance(
+                x, y, mu, cov_func, original_sigma, jitter, weights, K
+            )
+
+        if not with_uncertainty:
+            return
+
+        if per_feature:
+            # one noise-free Cholesky instead of one per feature
+            L = _get_L(x, cov_func, jitter, K=K)
+        elif L is None:
+            y_cov_factor = _sigma_to_y_cov_factor(sigma, y_cov_factor, x.shape[0])
+            sigma = None
+            L = _get_L(x, cov_func, jitter, y_cov_factor, K=K)
+
+        self.L = L
+        self._state_variables.add("L")
+
+        if not per_feature:
+            y_cov_factor = _sigma_to_y_cov_factor(sigma, y_cov_factor, x.shape[0])
+            W = solve_triangular(L.T, solve_triangular(L, y_cov_factor, lower=True))
+            self.W = W
+            self._state_variables.add("W")
+
+    def _compute_obs_variance(self, x, y, mu, cov_func, sigma, jitter, weights, K):
+        """HC3-corrected residuals smoothed by a second GP
+        (parity: ``mellon/conditional.py:308-364``)."""
+        n = x.shape[0]
+        prediction = mu + K @ weights
+
+        if jnp.ndim(sigma) >= 1:
+            sigma_pf = _normalize_per_feature_sigma(sigma)
+
+            def _lev_one(sigma_g):
+                L = jnp.linalg.cholesky(
+                    stabilize(K + sigma_g**2 * jnp.eye(n), jitter)
+                )
+                Linv = solve_triangular(L, jnp.eye(n), lower=True)
+                return 1 - sigma_g**2 * jnp.sum(jnp.square(Linv), axis=0)
+
+            sigma_in_axis = 1 if jnp.ndim(sigma_pf) == 2 else 0
+            h = jax.vmap(_lev_one, in_axes=sigma_in_axis, out_axes=1)(sigma_pf)
+        else:
+            L_lev = jnp.linalg.cholesky(
+                stabilize(K + sigma**2 * jnp.eye(n), jitter)
+            )
+            Linv = solve_triangular(L_lev, jnp.eye(n), lower=True)
+            h = 1 - sigma**2 * jnp.sum(jnp.square(Linv), axis=0)
+
+        residual = y - prediction
+        if residual.ndim > h.ndim:
+            h = h[..., None]
+        corrected_r2 = residual**2 / (1 - h) ** 2
+
+        variance_mu = 0.0
+        if jnp.ndim(sigma) >= 1:
+            sigma_pf = _normalize_per_feature_sigma(sigma)
+
+            def _var_solve_one(sigma_g, cr2_g):
+                L_var = jnp.linalg.cholesky(
+                    stabilize(K + sigma_g**2 * jnp.eye(n), jitter)
+                )
+                return solve_triangular(
+                    L_var.T,
+                    solve_triangular(L_var, cr2_g - variance_mu, lower=True),
+                )
+
+            variance_weights = jax.vmap(_var_solve_one, in_axes=(0, 1), out_axes=1)(
+                sigma_pf, corrected_r2
+            )
+        else:
+            L_var = jnp.linalg.cholesky(
+                stabilize(K + sigma**2 * jnp.eye(n), jitter)
+            )
+            variance_weights = solve_triangular(
+                L_var.T,
+                solve_triangular(L_var, corrected_r2 - variance_mu, lower=True),
+            )
+
+        self.variance_weights = variance_weights
+        self.variance_mu = variance_mu
+        self._corrected_r2 = corrected_r2
+        self._state_variables.add("variance_weights")
+        self._state_variables.add("variance_mu")
+
+    def _mean(self, Xnew):
+        Kus = self.cov_func(Xnew, self.x)
+        return self.mu + Kus @ self.weights
+
+    def _leverage(self, Xnew, sigma):
+        """h = 1 - sigma² diag((K + sigma² I)⁻¹) at the training geometry
+        (parity: ``mellon/conditional.py:375-400``)."""
+        x = self.x
+        jitter = self.jitter
+        n = x.shape[0]
+        K_train = self.cov_func(x, x)
+
+        if jnp.ndim(sigma) >= 1:
+            sigma = _normalize_per_feature_sigma(sigma)
+
+            def _lev_one(sigma_g):
+                L = jnp.linalg.cholesky(
+                    stabilize(K_train + sigma_g**2 * jnp.eye(n), jitter)
+                )
+                Linv = solve_triangular(L, jnp.eye(n), lower=True)
+                return 1 - sigma_g**2 * jnp.sum(jnp.square(Linv), axis=0)
+
+            return jax.vmap(_lev_one)(sigma).T
+
+        L = jnp.linalg.cholesky(stabilize(K_train + sigma**2 * jnp.eye(n), jitter))
+        Linv = solve_triangular(L, jnp.eye(n), lower=True)
+        return 1 - sigma**2 * jnp.sum(jnp.square(Linv), axis=0)
+
+    def _obs_variance(self, Xnew):
+        _check_obs_variance(self)
+        Kus = self.cov_func(Xnew, self.x)
+        return self.variance_mu + Kus @ self.variance_weights
+
+    def _covariance(self, Xnew, diag=True):
+        _check_covariance(self)
+        Kus = self.cov_func(self.x, Xnew)
+        A = solve_triangular(self.L, Kus, lower=True)
+        if diag:
+            Kss = self.cov_func.diag(Xnew)
+            return Kss - jnp.sum(jnp.square(A), axis=0)
+        Kss = self.cov_func(Xnew, Xnew)
+        return Kss - A.T @ A
+
+    def _mean_covariance(self, Xnew, diag=True):
+        _check_uncertainty(self)
+        Kus = self.cov_func(Xnew, self.x)
+        cov_L = Kus @ self.W
+        if diag:
+            return jnp.sum(cov_L * cov_L, axis=1)
+        return cov_L @ cov_L.T
+
+
+class FullConditional(_FullConditional, Predictor):
+    pass
+
+
+class ExpFullConditional(_FullConditional, ExpPredictor):
+    pass
+
+
+class FullConditionalTime(_FullConditional, PredictorTime):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# landmarks conditional (rank < n_landmarks or noisy y)
+# ---------------------------------------------------------------------------
+
+class _LandmarksConditional:
+    """Nyström/SoR conditioning through inducing points
+    (parity: ``mellon/conditional.py:455-735``)."""
+
+    def __init__(
+        self,
+        x,
+        xu,
+        y,
+        mu,
+        cov_func,
+        L=None,
+        Lp=None,
+        sigma=DEFAULT_SIGMA,
+        jitter=DEFAULT_JITTER,
+        y_cov_factor=None,
+        y_is_mean=False,
+        with_uncertainty=False,
+        obs_variance=False,
+    ):
+        x = ensure_2d(x)
+        xu = ensure_2d(xu)
+        original_sigma = sigma
+        Kuf = cov_func(xu, x)
+        per_feature = _is_per_feature_sigma(sigma, y)
+
+        if Lp is None:
+            Lp = _get_L(xu, cov_func, jitter)
+
+        A = solve_triangular(Lp, Kuf, lower=True)
+        r = y - mu
+
+        if per_feature:
+            sigma_pf = _normalize_per_feature_sigma(sigma)
+
+            def _solve_one(sigma_g, r_g):
+                sigma2 = jnp.square(sigma_g)
+                r_l = r_g / sigma2
+                A_l = A / sigma2
+                w, _ = _sparse_solve(Lp, A, r_l, A_l)
+                return w
+
+            sigma_in_axis = 1 if jnp.ndim(sigma_pf) == 2 else 0
+            weights = jax.vmap(_solve_one, in_axes=(sigma_in_axis, 1), out_axes=1)(
+                sigma_pf, r
+            )
+            L_B = None
+        else:
+            if y_is_mean:
+                r_l, A_l = r, A
+            else:
+                r_l, A_l = _process_sigma(sigma, r, A, jitter=jitter)
+            weights, L_B = _sparse_solve(Lp, A, r_l, A_l)
+
+        self.cov_func = cov_func
+        self.landmarks = xu
+        self.weights = weights
+        self.mu = mu
+        self.jitter = jitter
+        self.sigma = original_sigma
+        self.per_feature_sigma = per_feature
+        self.n_input_features = xu.shape[1]
+        self.n_obs = x.shape[0]
+
+        self._state_variables = {
+            "landmarks", "weights", "mu", "jitter", "sigma", "per_feature_sigma",
+        }
+
+        if obs_variance:
+            self._compute_obs_variance(
+                x, y, xu, mu, cov_func, sigma, jitter, weights, Lp, Kuf, A
+            )
+
+        if not with_uncertainty:
+            return
+
+        self.L = Lp
+        self._state_variables.add("L")
+
+        if not per_feature:
+            Cs = Lp @ L_B
+            self.Cs = Cs
+            self._state_variables.add("Cs")
+
+        if not y_is_mean:
+            return
+
+        y_l = y_cov_factor
+        C = solve_triangular(L_B, A @ y_l, lower=True)
+        Z = solve_triangular(L_B.T, C)
+        W = solve_triangular(Lp.T, Z)
+        self.W = W
+        self._state_variables.add("W")
+
+    def _compute_obs_variance(
+        self, x, y, xu, mu, cov_func, sigma, jitter, weights, Lp, Kuf, A
+    ):
+        """Parity: ``mellon/conditional.py:589-649``."""
+        prediction = mu + Kuf.T @ weights
+        B = Kuf.T  # n x m
+        K_uu = Lp @ Lp.T
+
+        if jnp.ndim(sigma) >= 1:
+            sigma_pf = _normalize_per_feature_sigma(sigma)
+
+            def _lev_one(sigma_g):
+                M = sigma_g**2 * K_uu + B.T @ B
+                M = stabilize(M, jitter)
+                BM = B @ jnp.linalg.inv(M)
+                return jnp.sum(BM * B, axis=1)
+
+            sigma_in_axis = 1 if jnp.ndim(sigma_pf) == 2 else 0
+            h = jax.vmap(_lev_one, in_axes=sigma_in_axis, out_axes=1)(sigma_pf)
+        else:
+            M = sigma**2 * K_uu + B.T @ B
+            M = stabilize(M, jitter)
+            BM = B @ jnp.linalg.inv(M)
+            h = jnp.sum(BM * B, axis=1)
+
+        residual = y - prediction
+        if residual.ndim > h.ndim:
+            h = h[..., None]
+        corrected_r2 = residual**2 / (1 - h) ** 2
+
+        variance_mu = 0.0
+        if jnp.ndim(sigma) >= 1:
+            sigma_pf = _normalize_per_feature_sigma(sigma)
+            r_var = corrected_r2 - variance_mu
+
+            def _var_solve_one(sigma_g, r_var_g):
+                sigma2 = jnp.square(sigma_g)
+                r_l = r_var_g / sigma2
+                A_l = A / sigma2
+                w, _ = _sparse_solve(Lp, A, r_l, A_l)
+                return w
+
+            variance_weights = jax.vmap(
+                _var_solve_one, in_axes=(0, 1), out_axes=1
+            )(sigma_pf, r_var)
+        else:
+            r_var = corrected_r2 - variance_mu
+            r_l, A_l = _process_sigma(sigma, r_var, A, jitter=jitter)
+            variance_weights, _ = _sparse_solve(Lp, A, r_l, A_l)
+
+        self.variance_weights = variance_weights
+        self.variance_mu = variance_mu
+        self._corrected_r2 = corrected_r2
+        self._state_variables.add("variance_weights")
+        self._state_variables.add("variance_mu")
+
+    def _mean(self, Xnew):
+        Kus = self.cov_func(Xnew, self.landmarks)
+        return self.mu + Kus @ self.weights
+
+    def _leverage(self, Xnew, sigma):
+        """Sparse-GP hat diagonal via the m x m system M = sigma² K_uu + BᵀB
+        (parity: ``mellon/conditional.py:660-685``)."""
+        xu = self.landmarks
+        jitter = self.jitter
+        B = self.cov_func(Xnew, xu)
+        if hasattr(self, "L") and self.L is not None:
+            K_uu = self.L @ self.L.T
+        else:
+            K_uu = self.cov_func(xu, xu)
+
+        if jnp.ndim(sigma) >= 1:
+            sigma = _normalize_per_feature_sigma(sigma)
+
+            def _lev_one(sigma_g):
+                M = sigma_g**2 * K_uu + B.T @ B
+                M = stabilize(M, jitter)
+                BM = B @ jnp.linalg.inv(M)
+                return jnp.sum(BM * B, axis=1)
+
+            return jax.vmap(_lev_one)(sigma).T
+
+        M = sigma**2 * K_uu + B.T @ B
+        M = stabilize(M, jitter)
+        BM = B @ jnp.linalg.inv(M)
+        return jnp.sum(BM * B, axis=1)
+
+    def _obs_variance(self, Xnew):
+        _check_obs_variance(self)
+        Kus = self.cov_func(Xnew, self.landmarks)
+        return self.variance_mu + Kus @ self.variance_weights
+
+    def _covariance(self, Xnew, diag=False):
+        """Nyström residual + sparse correction CᵀC
+        (parity: ``mellon/conditional.py:694-719``)."""
+        _check_covariance(self)
+        cov_func = self.cov_func
+        xu = self.landmarks
+        L = self.L
+
+        Kus = cov_func(xu, Xnew)
+        As = solve_triangular(L, Kus, lower=True)
+
+        if self.per_feature_sigma:
+            if diag:
+                return cov_func.diag(Xnew) - jnp.sum(jnp.square(As), axis=0)
+            return cov_func(Xnew, Xnew) - As.T @ As
+
+        Cs = self.Cs
+        C = solve_triangular(Cs, Kus, lower=True)
+        if diag:
+            Kss = cov_func.diag(Xnew)
+            return Kss - jnp.sum(jnp.square(As), axis=0) + jnp.sum(
+                jnp.square(C), axis=0
+            )
+        return cov_func(Xnew, Xnew) - As.T @ As + C.T @ C
+
+    def _mean_covariance(self, Xnew, diag=True):
+        _check_uncertainty(self)
+        Kus = self.cov_func(Xnew, self.landmarks)
+        cov_L = Kus @ self.W
+        if diag:
+            return jnp.sum(cov_L * cov_L, axis=1)
+        return cov_L @ cov_L.T
+
+
+class LandmarksConditional(_LandmarksConditional, Predictor):
+    pass
+
+
+class ExpLandmarksConditional(_LandmarksConditional, ExpPredictor):
+    pass
+
+
+class LandmarksConditionalTime(_LandmarksConditional, PredictorTime):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# landmarks-Cholesky conditional (latents on the landmarks)
+# ---------------------------------------------------------------------------
+
+class _LandmarksConditionalCholesky:
+    """Latents live on the landmarks; weights = Lᵀ⁻¹ z
+    (parity: ``mellon/conditional.py:750-963``)."""
+
+    def __init__(
+        self,
+        xu,
+        pre_transformation,
+        mu,
+        cov_func,
+        n_obs,
+        L=None,
+        sigma=DEFAULT_SIGMA,
+        jitter=DEFAULT_JITTER,
+        y_is_mean=False,
+        with_uncertainty=False,
+        obs_variance=False,
+        obs_x=None,
+        obs_y=None,
+    ):
+        xu = ensure_2d(xu)
+        original_sigma = sigma
+        if L is None:
+            logger.info(
+                "Recomputing covariance decomposition for predictive function."
+            )
+            if y_is_mean:
+                L = _get_L(xu, cov_func, jitter)
+            else:
+                y_cov_factor = _sigma_to_y_cov_factor(sigma, None, xu.shape[0])
+                sigma = None
+                L = _get_L(xu, cov_func, jitter, y_cov_factor)
+
+        weights = solve_triangular(L.T, pre_transformation)
+
+        if obs_variance:
+            Lp = L if y_is_mean else _get_L(xu, cov_func, jitter)
+        else:
+            Lp = None
+
+        self.cov_func = cov_func
+        self.landmarks = xu
+        self.weights = weights
+        self.mu = mu
+        self.jitter = jitter
+        self.sigma = original_sigma
+        self.per_feature_sigma = False
+        self.n_input_features = xu.shape[1]
+        self.n_obs = n_obs
+
+        self._state_variables = {
+            "landmarks", "weights", "mu", "jitter", "sigma", "per_feature_sigma",
+        }
+
+        if obs_variance:
+            if obs_x is None or obs_y is None:
+                raise ValueError(
+                    "obs_x and obs_y are required when obs_variance=True "
+                    "for LandmarksConditionalCholesky."
+                )
+            self._compute_obs_variance(
+                obs_x, obs_y, xu, mu, cov_func, original_sigma, jitter, weights, Lp
+            )
+
+        if not with_uncertainty:
+            return
+
+        self.L = L
+        self._state_variables.add("L")
+
+        if jnp.ndim(sigma) == 1:
+            Stds = jnp.diag(sigma)
+        else:
+            Stds = jnp.eye(xu.shape[0]) * sigma
+        W = solve_triangular(L.T, Stds)
+        self.W = W
+        self._state_variables.add("W")
+
+    def _compute_obs_variance(
+        self, x, y, xu, mu, cov_func, sigma, jitter, weights, Lp
+    ):
+        """Parity: ``mellon/conditional.py:869-897``."""
+        x = ensure_2d(x)
+        Kxu = cov_func(x, xu)
+        prediction = mu + Kxu @ weights
+        h = self._leverage(x, sigma)
+        residual = y - prediction
+        if residual.ndim > h.ndim:
+            h = h[..., None]
+        corrected_r2 = residual**2 / (1 - h) ** 2
+
+        Kuf_var = cov_func(xu, x)
+        A_var = solve_triangular(Lp, Kuf_var, lower=True)
+        variance_mu = 0.0
+        r_var = corrected_r2 - variance_mu
+        r_l, A_l = _process_sigma(sigma, r_var, A_var, jitter=jitter)
+        variance_weights, _ = _sparse_solve(Lp, A_var, r_l, A_l)
+
+        self.variance_weights = variance_weights
+        self.variance_mu = variance_mu
+        self._corrected_r2 = corrected_r2
+        self._state_variables.add("variance_weights")
+        self._state_variables.add("variance_mu")
+
+    def _mean(self, Xnew):
+        Kus = self.cov_func(Xnew, self.landmarks)
+        return self.mu + Kus @ self.weights
+
+    def _leverage(self, Xnew, sigma):
+        xu = self.landmarks
+        jitter = self.jitter
+        B = self.cov_func(Xnew, xu)
+        if hasattr(self, "L") and self.L is not None:
+            K_uu = self.L @ self.L.T
+        else:
+            K_uu = self.cov_func(xu, xu)
+        M = sigma**2 * K_uu + B.T @ B
+        M = stabilize(M, jitter)
+        BM = B @ jnp.linalg.inv(M)
+        return jnp.sum(BM * B, axis=1)
+
+    def _obs_variance(self, Xnew):
+        _check_obs_variance(self)
+        Kus = self.cov_func(Xnew, self.landmarks)
+        return self.variance_mu + Kus @ self.variance_weights
+
+    def _covariance(self, Xnew, diag=True):
+        _check_covariance(self)
+        K = self.cov_func(self.landmarks, Xnew)
+        A = solve_triangular(self.L, K, lower=True)
+        if diag:
+            Kss = self.cov_func.diag(Xnew)
+            return Kss - jnp.sum(jnp.square(A), axis=0)
+        return self.cov_func(Xnew, Xnew) - A.T @ A
+
+    def _mean_covariance(self, Xnew, diag=True):
+        _check_uncertainty(self)
+        Kus = self.cov_func(Xnew, self.landmarks)
+        cov_L = Kus @ self.W
+        if diag:
+            return jnp.sum(cov_L * cov_L, axis=1)
+        return cov_L @ cov_L.T
+
+
+class LandmarksConditionalCholesky(_LandmarksConditionalCholesky, Predictor):
+    pass
+
+
+class ExpLandmarksConditionalCholesky(_LandmarksConditionalCholesky, ExpPredictor):
+    pass
+
+
+class LandmarksConditionalCholeskyTime(_LandmarksConditionalCholesky, PredictorTime):
+    pass

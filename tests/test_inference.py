@@ -1,0 +1,109 @@
+"""Inference-layer tests: optimizers, ADVI, Laplace, likelihoods.
+
+Mirrors the reference's ``tests/test_inference.py`` and ``tests/test_laplace.py``
+strategy (SURVEY.md §4): optimizers converge on toy quadratics; the Laplace
+std is exact on quadratic losses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mellon_tpu.inference import (
+    compute_laplace_std,
+    compute_loss_func,
+    compute_transform,
+    minimize_adam,
+    minimize_lbfgsb,
+    nearest_neighbors_likelihood,
+    normal_prior,
+    poisson_likelihood,
+    run_advi,
+)
+
+
+def quad_loss(z):
+    scales = jnp.asarray([1.0, 4.0, 0.25])
+    return 0.5 * jnp.sum(scales * (z - jnp.asarray([1.0, -2.0, 3.0])) ** 2)
+
+
+def test_lbfgs_converges_on_quadratic():
+    res = minimize_lbfgsb(quad_loss, jnp.zeros(3))
+    np.testing.assert_allclose(
+        np.asarray(res.pre_transformation), [1.0, -2.0, 3.0], atol=1e-4
+    )
+    assert res.loss < 1e-8
+
+
+def test_adam_reduces_loss():
+    res = minimize_adam(quad_loss, jnp.zeros(3), n_iter=200)
+    assert float(res.losses[-1]) < float(res.losses[0])
+    np.testing.assert_allclose(
+        np.asarray(res.pre_transformation), [1.0, -2.0, 3.0], atol=0.5
+    )
+
+
+def test_laplace_std_exact_on_quadratic():
+    res = minimize_lbfgsb(quad_loss, jnp.zeros(3))
+    stds = compute_laplace_std(quad_loss, res.pre_transformation)
+    np.testing.assert_allclose(
+        np.asarray(stds), 1 / np.sqrt([1.0, 4.0, 0.25]), atol=1e-5
+    )
+
+
+def test_laplace_std_clips_zero_curvature():
+    flat_loss = lambda z: 0.5 * z[0] ** 2  # no curvature in z[1]
+    stds = compute_laplace_std(flat_loss, jnp.zeros(2))
+    assert float(stds[0]) == pytest.approx(1.0, abs=1e-5)
+    assert float(stds[1]) == pytest.approx(1e4, rel=1e-3)  # 1/sqrt(1e-8)
+
+
+def test_advi_matches_laplace_on_gaussian():
+    # posterior is exactly Gaussian -> ADVI should find mean and stds
+    res = run_advi(quad_loss, jnp.zeros(3), n_iter=600, init_learn_rate=0.1)
+    np.testing.assert_allclose(
+        np.asarray(res.pre_transformation), [1.0, -2.0, 3.0], atol=0.2
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.pre_transformation_std),
+        1 / np.sqrt([1.0, 4.0, 0.25]),
+        rtol=0.4,
+    )
+
+
+def test_nn_likelihood_peaks_at_mle():
+    from mellon_tpu.utils.util import mle
+
+    key = jax.random.PRNGKey(0)
+    r = jax.random.uniform(key, (20,), minval=0.05, maxval=0.3)
+    d = 2
+    lik = nearest_neighbors_likelihood(r, d)
+    opt_ld = mle(r, d)
+    base = lik(opt_ld)
+    for eps in [0.1, -0.1]:
+        assert float(lik(opt_ld + eps)) < float(base)
+
+
+def test_poisson_likelihood_finite():
+    key = jax.random.PRNGKey(1)
+    dist = jax.random.uniform(key, (10, 5), minval=0.05, maxval=0.5)
+    lik = poisson_likelihood(dist)
+    val = lik(2.0 * jnp.ones(10), jnp.zeros(10))
+    assert np.isfinite(float(val))
+
+
+def test_density_loss_pipeline():
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (30, 2))
+    from mellon_tpu.ops import Matern52, _full_rank
+    from mellon_tpu.ops.neighbors import nn_distances
+
+    nn = nn_distances(x)
+    cov = Matern52(ls=1.0)
+    L = _full_rank(x, cov)
+    transform = compute_transform(0.0, L)
+    loss = compute_loss_func(nn, 2, transform, 30)
+    z0 = jnp.zeros(30)
+    res = minimize_lbfgsb(loss, z0)
+    assert float(loss(res.pre_transformation)) < float(loss(z0))
