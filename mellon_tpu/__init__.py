@@ -16,6 +16,18 @@ from .config import setup_jax, set_jax_config
 from .ops.kernels import Covariance
 from .utils import util
 from .utils import validation
+from .models import (
+    DensityEstimator,
+    DimensionalityEstimator,
+    FunctionEstimator,
+    TimeSensitiveDensityEstimator,
+)
+from .inference.predictors import Predictor
+from .ops import kernels as cov
+from . import parameters
+from . import inference
+from .inference import conditionals as conditional
+from .inference import derivatives
 
 logger = logging.getLogger("mellon_tpu")
 if not logger.handlers:
@@ -28,10 +40,20 @@ if not logger.handlers:
     logger.propagate = False
 
 __all__ = [
+    "DensityEstimator",
+    "FunctionEstimator",
+    "DimensionalityEstimator",
+    "TimeSensitiveDensityEstimator",
+    "Predictor",
     "Covariance",
     "__version__",
     "setup_jax",
     "set_jax_config",
     "util",
+    "cov",
+    "parameters",
+    "inference",
+    "conditional",
+    "derivatives",
     "validation",
 ]

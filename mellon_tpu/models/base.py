@@ -1,0 +1,371 @@
+"""Shared estimator machinery: validated constructor, lazy attribute
+preparation, optimizer dispatch.
+
+Behavioural parity target: ``mellon/base_model.py`` (482 LoC).
+"""
+
+import logging
+
+from ..inference.advi import run_advi
+from ..inference.laplace import compute_laplace_std
+from ..inference.optimizers import (
+    DEFAULT_INIT_LEARN_RATE,
+    DEFAULT_JIT,
+    DEFAULT_N_ITER,
+    DEFAULT_OPTIMIZER,
+    minimize_adam,
+    minimize_lbfgsb,
+)
+from ..ops.kernels import Matern52
+from ..parameters import (
+    DEFAULT_RANDOM_SEED,
+    compute_L,
+    compute_Lp,
+    compute_cov_func,
+    compute_gp_type,
+    compute_landmarks,
+    compute_ls,
+    compute_n_landmarks,
+    compute_nn_distances,
+    compute_rank,
+)
+from ..utils.parameter_validation import (
+    validate_cov_func,
+    validate_cov_func_curry,
+    validate_params,
+)
+from ..utils.util import (
+    DEFAULT_JITTER,
+    GaussianProcessType,
+    object_str,
+    test_rank,
+)
+from ..utils.validation import (
+    validate_array,
+    validate_bool,
+    validate_float,
+    validate_float_or_int,
+    validate_float_or_iterable_numerical,
+    validate_nn_distances,
+    validate_positive_float,
+    validate_positive_int,
+    validate_string,
+)
+
+DEFAULT_COV_FUNC = Matern52
+RANK_FRACTION_THRESHOLD = 0.8
+SAMPLE_LANDMARK_RATIO = 10
+
+logger = logging.getLogger("mellon_tpu")
+
+
+class BaseEstimator:
+    """Base class of all estimators (parity: ``mellon/base_model.py:56-482``)."""
+
+    def __init__(
+        self,
+        cov_func_curry=DEFAULT_COV_FUNC,
+        n_landmarks=None,
+        rank=None,
+        jitter=DEFAULT_JITTER,
+        optimizer=DEFAULT_OPTIMIZER,
+        n_iter=DEFAULT_N_ITER,
+        init_learn_rate=DEFAULT_INIT_LEARN_RATE,
+        landmarks=None,
+        gp_type=None,
+        nn_distances=None,
+        d=None,
+        mu=0,
+        ls=None,
+        ls_factor=1,
+        cov_func=None,
+        Lp=None,
+        L=None,
+        initial_value=None,
+        predictor_with_uncertainty=False,
+        jit=DEFAULT_JIT,
+        check_rank=None,
+        random_state=DEFAULT_RANDOM_SEED,
+    ):
+        self.cov_func_curry = validate_cov_func_curry(
+            cov_func_curry, cov_func, "cov_func_curry"
+        )
+        self.n_landmarks = validate_positive_int(
+            n_landmarks, "n_landmarks", optional=True
+        )
+        self.random_state = validate_positive_int(
+            random_state, "random_state", optional=True
+        )
+        self.rank = validate_float_or_int(rank, "rank", optional=True)
+        self.jitter = validate_positive_float(jitter, "jitter")
+        self.landmarks = validate_array(landmarks, "landmarks", optional=True)
+        self.gp_type = GaussianProcessType.from_string(gp_type, optional=True)
+        self.nn_distances = validate_array(nn_distances, "nn_distances", optional=True)
+        self.nn_distances = validate_nn_distances(self.nn_distances, optional=True)
+        self.mu = validate_float(mu, "mu", optional=True)
+        self.ls = validate_positive_float(ls, "ls", optional=True)
+        self.ls_factor = validate_positive_float(ls_factor, "ls_factor")
+        self.cov_func = validate_cov_func(cov_func, "cov_func", optional=True)
+        self.Lp = validate_array(Lp, "Lp", optional=True)
+        self.L = validate_array(L, "L", optional=True)
+        self.d = validate_float_or_iterable_numerical(
+            d, "d", optional=True, positive=True
+        )
+        self.initial_value = validate_array(
+            initial_value, "initial_value", optional=True
+        )
+        self.optimizer = validate_string(
+            optimizer, "optimizer", choices={"adam", "advi", "L-BFGS-B"}
+        )
+        self.n_iter = validate_positive_int(n_iter, "n_iter")
+        self.init_learn_rate = validate_positive_float(
+            init_learn_rate, "init_learn_rate"
+        )
+        self.predictor_with_uncertainty = validate_bool(
+            predictor_with_uncertainty, "predictor_with_uncertainty"
+        )
+        self.jit = validate_bool(jit, "jit")
+        self.check_rank = validate_bool(check_rank, "check_rank", optional=True)
+        self.x = None
+        self.pre_transformation = None
+
+    def __str__(self):
+        return self.__repr__()
+
+    def __repr__(self):
+        name = self.__class__.__name__
+        landmarks = object_str(self.landmarks, ["landmarks", "dims"])
+        Lp = object_str(self.Lp, ["landmarks", "landmarks"])
+        L = object_str(self.L, ["cells", "ranks"])
+        nn_distances = object_str(self.nn_distances, ["cells"])
+        initial_value = object_str(self.initial_value, ["ranks"])
+        d = object_str(self.d, ["cells"])
+        return (
+            f"{name}("
+            f"\n    check_rank={self.check_rank},"
+            f"\n    cov_func={self.cov_func},"
+            f"\n    cov_func_curry={self.cov_func_curry},"
+            f"\n    d={d},"
+            f"\n    gp_type={self.gp_type},"
+            f"\n    initial_value={initial_value},"
+            f"\n    jit={self.jit},"
+            f"\n    jitter={self.jitter},"
+            f"\n    landmarks={landmarks},"
+            f"\n    L={L},"
+            f"\n    Lp={Lp},"
+            f"\n    ls={self.ls},"
+            f"\n    ls_factor={self.ls_factor},"
+            f"\n    mu={self.mu},"
+            f"\n    n_landmarks={self.n_landmarks},"
+            f"\n    nn_distances={nn_distances},"
+            f"\n    optimizer={self.optimizer},"
+            f"\n    predictor_with_uncertainty={self.predictor_with_uncertainty},"
+            f"\n    random_state={self.random_state},"
+            f"\n    rank={self.rank},"
+            "\n)"
+        )
+
+    def __call__(self, x=None):
+        return self.fit_predict(x=x)
+
+    def set_x(self, x):
+        """Validate and pin the training data
+        (parity: ``mellon/base_model.py:176-213``)."""
+        if self.x is not None and x is not None and self.x is not x:
+            message = "self.x has been set already, but is not equal to the argument x."
+            error = ValueError(message)
+            logger.error(error)
+            raise error
+        if self.x is None and x is None:
+            message = "Required argument x is missing and self.x has not been set."
+            error = ValueError(message)
+            logger.error(error)
+            raise error
+        if x is None:
+            x = self.x
+        self.x = validate_array(x, "x")
+        return self.x
+
+    def _compute_n_landmarks(self):
+        return compute_n_landmarks(self.gp_type, self.x.shape[0], self.landmarks)
+
+    def _compute_landmarks(self):
+        x = self.x
+        n_landmarks = self.n_landmarks
+        n_samples = x.shape[0]
+        gp_type = self.gp_type
+        if n_samples > 100 * n_landmarks and n_samples > 1e6:
+            logger.info(
+                f"Large number of {n_samples:,} cells and "
+                f"small number of {n_landmarks:,} landmarks. Consider "
+                "computing k-means on a subset of cells and passing "
+                "the results as 'landmarks' to speed up the process."
+            )
+        random_state = (
+            self.random_state if self.random_state is not None else DEFAULT_RANDOM_SEED
+        )
+        return compute_landmarks(
+            x, gp_type, n_landmarks=n_landmarks, random_state=random_state
+        )
+
+    def _compute_rank(self):
+        return compute_rank(self.gp_type)
+
+    def _compute_gp_type(self):
+        return compute_gp_type(self.n_landmarks, self.rank, self.x.shape[0])
+
+    def _compute_nn_distances(self):
+        logger.info("Computing nearest neighbor distances.")
+        seed = (
+            self.random_state if self.random_state is not None else DEFAULT_RANDOM_SEED
+        )
+        nn_distances = compute_nn_distances(self.x, seed=seed)
+        return validate_nn_distances(nn_distances)
+
+    def _compute_ls(self):
+        ls = compute_ls(self.nn_distances)
+        ls *= self.ls_factor
+        return ls
+
+    def _compute_cov_func(self):
+        cov_func = compute_cov_func(self.cov_func_curry, self.ls)
+        logger.info("Using covariance function %s.", str(cov_func))
+        return cov_func
+
+    def _compute_Lp(self):
+        return compute_Lp(
+            self.x,
+            self.cov_func,
+            self.gp_type,
+            self.landmarks,
+            sigma=0,
+            jitter=self.jitter,
+        )
+
+    def _compute_L(self):
+        x = self.x
+        gp_type = self.gp_type
+        landmarks = self.landmarks
+        rank = self.rank
+        check_rank = self.check_rank
+
+        L = compute_L(
+            x,
+            self.cov_func,
+            gp_type,
+            landmarks=landmarks,
+            Lp=self.Lp,
+            rank=rank,
+            sigma=0,
+            jitter=self.jitter,
+        )
+
+        new_rank = L.shape[1]
+        n_samples = x.shape[0]
+        n_landmarks = n_samples if landmarks is None else landmarks.shape[0]
+
+        if (
+            gp_type
+            in (GaussianProcessType.SPARSE_NYSTROEM, GaussianProcessType.FULL_NYSTROEM)
+        ) and new_rank > (rank * RANK_FRACTION_THRESHOLD * n_landmarks):
+            logger.warning(
+                f"Shallow rank reduction from {n_landmarks:,} to {new_rank:,} "
+                "indicates underrepresentation by landmarks. Consider "
+                "increasing n_landmarks!"
+            )
+
+        if (
+            check_rank is None
+            and gp_type == GaussianProcessType.SPARSE_CHOLESKY
+            and SAMPLE_LANDMARK_RATIO * n_landmarks < n_samples
+        ) or (check_rank is not None and check_rank):
+            logger.info(
+                "Estimating approximation accuracy "
+                f"since {n_samples:,} samples are more than "
+                f"{SAMPLE_LANDMARK_RATIO} x {n_landmarks:,} landmarks."
+            )
+            test_rank(L, threshold=RANK_FRACTION_THRESHOLD)
+        logger.info(f"Using rank {new_rank:,} covariance representation.")
+        return L
+
+    def validate_parameter(self):
+        """Cross-check the parameter combination
+        (parity: ``mellon/base_model.py:360-369``)."""
+        validate_params(
+            self.rank, self.gp_type, self.x.shape[0], self.n_landmarks, self.landmarks
+        )
+
+    def _run_inference(self):
+        """Optimizer dispatch (parity: ``mellon/base_model.py:371-431``)."""
+        function = self.loss_func
+        initial_value = self.initial_value
+        optimizer = self.optimizer
+        logger.info("Running inference using %s.", optimizer)
+        if optimizer == "adam":
+            results = minimize_adam(
+                function,
+                initial_value,
+                n_iter=self.n_iter,
+                init_learn_rate=self.init_learn_rate,
+                jit=self.jit,
+            )
+            self.pre_transformation = results.pre_transformation
+            self.pre_transformation_std = None
+            self.opt_state = results.opt_state
+            self.losses = results.losses
+        elif optimizer == "advi":
+            results = run_advi(
+                function,
+                initial_value,
+                n_iter=self.n_iter,
+                init_learn_rate=self.init_learn_rate,
+                jit=self.jit,
+            )
+            self.pre_transformation = results.pre_transformation
+            self.pre_transformation_std = results.pre_transformation_std
+            self.losses = results.losses
+        elif optimizer == "L-BFGS-B":
+            results = minimize_lbfgsb(function, initial_value, jit=self.jit)
+            self.pre_transformation = results.pre_transformation
+            self.pre_transformation_std = None
+            self.opt_state = results.opt_state
+            self.losses = [results.loss]
+        else:
+            error = ValueError(
+                f"Unknown optimizer {optimizer}. You can use .loss_func and "
+                ".initial_value as loss function and initial state for an "
+                "external optimization. Write optimal state to "
+                ".pre_transformation to enable prediction with .predict()."
+            )
+            logger.error(error)
+            raise error
+
+        if optimizer != "advi" and self.predictor_with_uncertainty:
+            if self.pre_transformation_std is None:
+                logger.info(
+                    "Computing Laplace approximation for posterior uncertainty."
+                )
+                self.pre_transformation_std = compute_laplace_std(
+                    function, self.pre_transformation, jit=self.jit
+                )
+
+    def _prepare_attribute(self, attribute):
+        """Lazy attribute computation via the ``_compute_<attr>`` convention
+        (parity: ``mellon/base_model.py:433-446``)."""
+        if getattr(self, attribute) is not None:
+            return
+        function = getattr(self, "_compute_" + attribute)
+        setattr(self, attribute, function())
+
+    def prepare_inference(self, x):
+        ...
+
+    def fit(self):
+        ...
+
+    @property
+    def predict(self):
+        ...
+
+    def fit_predict(self, x):
+        ...

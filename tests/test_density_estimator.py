@@ -1,0 +1,180 @@
+"""End-to-end DensityEstimator tests, mirroring the reference's
+``tests/test_density_estimator.py`` strategy (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mellon_tpu
+from mellon_tpu import DensityEstimator, Predictor
+
+
+@pytest.fixture(scope="module")
+def data():
+    key = jax.random.PRNGKey(0)
+    return jax.random.normal(key, (100, 3))
+
+
+@pytest.fixture(scope="module")
+def fitted(data):
+    est = DensityEstimator()
+    est.fit(data)
+    return est
+
+
+def test_fit_predict_consistency(data, fitted):
+    """Predictor at training points matches the optimized latent function."""
+    ld = np.asarray(fitted.log_density_x)
+    pred = np.asarray(fitted.predict(data))
+    rel_err = np.max(np.abs(ld - pred)) / np.std(ld)
+    assert rel_err < 1e-4
+
+
+def test_density_values_reasonable(data, fitted):
+    from mellon_tpu.utils.util import mle
+    from mellon_tpu.ops.neighbors import nn_distances
+
+    # MAP log density should correlate strongly with the pointwise MLE
+    target = np.asarray(mle(nn_distances(data), 3))
+    got = np.asarray(fitted.log_density_x)
+    corr = np.corrcoef(target, got)[0, 1]
+    assert corr > 0.7
+
+
+def test_gradient_hessian_shapes(data, fitted):
+    x = data[:7]
+    g = fitted.predict.gradient(x)
+    assert g.shape == x.shape
+    h = fitted.predict.hessian(x)
+    assert h.shape == x.shape + x.shape[1:]
+    sign, logdet = fitted.predict.hessian_log_determinant(x)
+    assert sign.shape == (7,)
+    assert logdet.shape == (7,)
+
+
+def test_serialization_roundtrip(tmp_path, data, fitted):
+    pred = fitted.predict
+    expected = np.asarray(pred(data))
+
+    # dict roundtrip
+    restored = Predictor.from_dict(pred.to_dict())
+    np.testing.assert_allclose(np.asarray(restored(data)), expected, atol=1e-10)
+
+    # json / gzip / bz2 file roundtrips
+    for compress, suffix in [(None, ".json"), ("gzip", ".json.gz"), ("bz2", ".json.bz2")]:
+        path = str(tmp_path / f"predictor{suffix}")
+        pred.to_json(path, compress=compress)
+        restored = Predictor.from_json(path)
+        np.testing.assert_allclose(np.asarray(restored(data)), expected, atol=1e-10)
+
+
+def test_predictor_copy(data, fitted):
+    cp = fitted.predict.copy()
+    np.testing.assert_allclose(
+        np.asarray(cp(data)), np.asarray(fitted.predict(data)), atol=1e-12
+    )
+
+
+def test_normalization(data, fitted):
+    normalized = fitted.predict(data, normalize=True)
+    plain = fitted.predict(data)
+    np.testing.assert_allclose(
+        np.asarray(plain) - np.log(100), np.asarray(normalized), atol=1e-12
+    )
+
+
+def test_sparse_approximation_close_to_full(data):
+    full = DensityEstimator(gp_type="full")
+    ld_full = full.fit_predict(data)
+    sparse = DensityEstimator(n_landmarks=50)
+    ld_sparse = sparse.fit_predict(data)
+    corr = np.corrcoef(np.asarray(ld_full), np.asarray(ld_sparse))[0, 1]
+    assert corr > 0.95
+
+
+def test_nystroem_close_to_full(data):
+    full = DensityEstimator(gp_type="full")
+    ld_full = full.fit_predict(data)
+    nys = DensityEstimator(rank=0.999, gp_type="full_nystroem")
+    ld_nys = nys.fit_predict(data)
+    corr = np.corrcoef(np.asarray(ld_full), np.asarray(ld_nys))[0, 1]
+    assert corr > 0.95
+
+
+def test_adam_optimizer(data):
+    est = DensityEstimator(optimizer="adam", n_iter=50)
+    ld = est.fit_predict(data)
+    assert np.all(np.isfinite(np.asarray(ld)))
+
+
+def test_advi_optimizer_with_uncertainty(data):
+    est = DensityEstimator(
+        optimizer="advi", n_iter=50, predictor_with_uncertainty=True
+    )
+    est.fit(data)
+    assert est.pre_transformation_std is not None
+    var = est.predict.mean_covariance(data[:5])
+    assert var.shape == (5,)
+    assert np.all(np.asarray(var) >= 0)
+    total = est.predict.uncertainty(data[:5])
+    assert np.all(np.asarray(total) >= np.asarray(var) - 1e-12)
+
+
+def test_laplace_uncertainty(data):
+    est = DensityEstimator(predictor_with_uncertainty=True)
+    est.fit(data)
+    assert est.pre_transformation_std is not None
+    assert np.all(np.asarray(est.pre_transformation_std) > 0)
+    var = est.predict.mean_covariance(data[:5])
+    assert np.all(np.asarray(var) >= 0)
+
+
+def test_reuse_precomputed_attributes(data, fitted):
+    """Warm resume by attribute injection
+    (parity: ``mellon/density_estimator.py:37-41``)."""
+    est = DensityEstimator(
+        nn_distances=fitted.nn_distances,
+        ls=fitted.ls,
+        landmarks=fitted.landmarks,
+        L=fitted.L,
+        Lp=fitted.Lp,
+        mu=fitted.mu,
+        initial_value=fitted.initial_value,
+    )
+    ld = est.fit_predict(data)
+    np.testing.assert_allclose(
+        np.asarray(ld), np.asarray(fitted.log_density_x), atol=1e-3
+    )
+
+
+def test_error_paths(data):
+    est = DensityEstimator()
+    with pytest.raises(ValueError):
+        est.fit_predict(None)  # no x at all
+    est = DensityEstimator()
+    est.fit(data)
+    other = jax.random.normal(jax.random.PRNGKey(9), (50, 3))
+    with pytest.raises(ValueError):
+        est.fit_predict(other)  # conflicting x
+    with pytest.raises(ValueError):
+        est.predict(jnp.ones((5, 7)))  # wrong feature count
+    with pytest.raises(ValueError):
+        DensityEstimator(optimizer="gradient-descent")
+    with pytest.raises(ValueError):
+        DensityEstimator(d_method="bogus")
+
+
+def test_d_over_50_raises():
+    x = jax.random.normal(jax.random.PRNGKey(1), (60, 51))
+    est = DensityEstimator()
+    with pytest.raises(ValueError, match="dimensionality"):
+        est.fit(x)
+
+
+def test_string_representations(fitted):
+    assert "DensityEstimator" in repr(fitted)
+    assert "Predictor" in repr(fitted.predict) or "Conditional" in repr(
+        fitted.predict
+    )
+    assert fitted._repr_html_()

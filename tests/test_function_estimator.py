@@ -1,0 +1,144 @@
+"""FunctionEstimator tests, mirroring the reference's
+``tests/test_function_estimator.py``, ``tests/test_leverage.py``, and
+``tests/test_pergene_sigma.py`` strategies (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mellon_tpu import FunctionEstimator
+from mellon_tpu.ops import Matern52
+from mellon_tpu.utils.util import stabilize
+
+
+@pytest.fixture(scope="module")
+def data():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (60, 2), minval=-2, maxval=2)
+    y = jnp.sin(x[:, 0]) + 0.5 * jnp.cos(2 * x[:, 1])
+    return x, y
+
+
+def test_fit_predict_interpolates(data):
+    x, y = data
+    est = FunctionEstimator(sigma=1e-3)
+    got = est.fit_predict(x, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(y), atol=1e-2)
+
+
+def test_extrapolation_smoothness(data):
+    x, y = data
+    est = FunctionEstimator(sigma=1e-3)
+    est.fit(x, y)
+    xnew = x + 0.01
+    got = est.predict(xnew)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(y), atol=0.05)
+
+
+def test_multioutput(data):
+    x, y = data
+    Y = jnp.stack([y, -2 * y], axis=1)
+    est = FunctionEstimator(sigma=1e-3)
+    got = est.fit_predict(x, Y)
+    assert got.shape == (60, 2)
+    np.testing.assert_allclose(np.asarray(got[:, 1]), -2 * np.asarray(got[:, 0]), atol=1e-4)
+
+
+def test_sparse_close_to_full(data):
+    x, y = data
+    full = FunctionEstimator(sigma=1e-3, gp_type="full")
+    got_full = full.fit_predict(x, y)
+    sparse = FunctionEstimator(sigma=1e-3, n_landmarks=30)
+    got_sparse = sparse.fit_predict(x, y)
+    corr = np.corrcoef(np.asarray(got_full), np.asarray(got_sparse))[0, 1]
+    assert corr > 0.99
+
+
+def test_per_feature_sigma_matches_per_column_fits(data):
+    """(p,) sigma fit must equal independent scalar-sigma fits per column
+    (parity contract: reference ``tests/test_pergene_sigma.py:34-50``)."""
+    x, y = data
+    Y = jnp.stack([y, y**2], axis=1)
+    sigmas = jnp.asarray([0.1, 0.3])
+    est = FunctionEstimator(sigma=sigmas)
+    got = est.fit_predict(x, Y)
+    for j in range(2):
+        single = FunctionEstimator(sigma=float(sigmas[j]))
+        got_j = single.fit_predict(x, Y[:, j])
+        # the scalar path adds sigma^2 I exactly while the per-feature path
+        # stabilizes with jitter on top (same asymmetry as the reference),
+        # so agreement is to ~jitter-amplified precision
+        np.testing.assert_allclose(np.asarray(got[:, j]), np.asarray(got_j), atol=1e-4)
+
+
+def test_leverage_matches_hat_matrix(data):
+    """Leverage equals diag(K (K + sigma² I)⁻¹) explicitly
+    (parity contract: reference ``tests/test_leverage.py:26-45``)."""
+    x, y = data
+    sigma = 0.2
+    est = FunctionEstimator(sigma=sigma, gp_type="full")
+    est.fit(x, y)
+    h = np.asarray(est.leverage())
+
+    cov = est.cov_func
+    K = np.asarray(cov(x, x))
+    H = K @ np.linalg.inv(
+        np.asarray(stabilize(jnp.asarray(K + sigma**2 * np.eye(60)), est.jitter))
+    )
+    np.testing.assert_allclose(h, np.diag(H), atol=1e-4)
+    assert np.all(h >= 0)
+    assert np.all(h <= 1)
+
+
+def test_sparse_leverage_correlates_with_full(data):
+    x, y = data
+    sigma = 0.2
+    full = FunctionEstimator(sigma=sigma, gp_type="full")
+    full.fit(x, y)
+    h_full = np.asarray(full.leverage())
+    sparse = FunctionEstimator(sigma=sigma, n_landmarks=30)
+    sparse.fit(x, y)
+    h_sparse = np.asarray(sparse.leverage())
+    from scipy.stats import spearmanr
+
+    rho = spearmanr(h_full, h_sparse).statistic
+    assert rho > 0.8
+
+
+def test_loo_residuals_and_obs_variance(data):
+    x, y = data
+    noise = 0.1 * jax.random.normal(jax.random.PRNGKey(3), y.shape)
+    est = FunctionEstimator(sigma=0.1, obs_variance=True)
+    est.fit(x, y + noise)
+    r2 = np.asarray(est.loo_residuals_squared())
+    assert r2.shape == (60,)
+    assert np.all(r2 >= 0)
+    var = np.asarray(est.get_obs_variance())
+    assert var.shape == (60,)
+
+
+def test_uncertainty(data):
+    x, y = data
+    est = FunctionEstimator(sigma=0.1, predictor_with_uncertainty=True)
+    est.fit(x, y)
+    var = est.predict.covariance(x[:5])
+    assert var.shape == (5,)
+    mean_var = est.predict.mean_covariance(x[:5])
+    assert mean_var.shape == (5,)
+    total = est.predict.uncertainty(x[:5])
+    np.testing.assert_allclose(
+        np.asarray(total), np.asarray(var) + np.asarray(mean_var), atol=1e-12
+    )
+
+
+def test_nystroem_gp_type_rejected():
+    with pytest.raises(ValueError, match="Nyström"):
+        FunctionEstimator(gp_type="sparse_nystroem")
+
+
+def test_shape_mismatch_raises(data):
+    x, y = data
+    est = FunctionEstimator(sigma=0.1)
+    with pytest.raises(ValueError):
+        est.fit(x, y[:10])
