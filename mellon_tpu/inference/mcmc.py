@@ -1,0 +1,220 @@
+"""Multi-chain MCMC driver with cross-chain warmup adaptation.
+
+NEW capability relative to the reference (see :mod:`.samplers`).  The chain
+axis is a plain batch axis: chains run under ``vmap`` inside one compiled
+``lax.scan``, so placing the chain axis on a device-mesh axis shards chains
+across chips (adaptation statistics reduce across the chain axis, which XLA
+lowers to ``psum`` over ICI when sharded — see
+:func:`mellon_tpu.parallel.sharding.shard_chains`).
+"""
+
+import logging
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .samplers import (
+    da_init,
+    da_update,
+    hmc_init,
+    hmc_kernel,
+    nuts_kernel,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+
+logger = logging.getLogger("mellon_tpu")
+
+
+class MCMCResult(NamedTuple):
+    samples: jnp.ndarray          # (num_chains, num_samples, dim)
+    potential: jnp.ndarray        # (num_chains, num_samples)
+    accept_prob: jnp.ndarray      # (num_chains, num_samples)
+    diverging: jnp.ndarray        # (num_chains, num_samples)
+    step_size: jnp.ndarray        # scalar (shared across chains)
+    inv_mass_diag: jnp.ndarray    # (dim,)
+    num_leapfrog: jnp.ndarray     # (num_chains, num_samples)
+
+
+def _make_kernel(potential_fn, algorithm, max_tree_depth, num_leapfrog_steps):
+    if algorithm == "nuts":
+        return nuts_kernel(potential_fn, max_tree_depth=max_tree_depth)
+    if algorithm == "hmc":
+        return hmc_kernel(potential_fn, num_steps=num_leapfrog_steps)
+    raise ValueError(f"Unknown MCMC algorithm: {algorithm}")
+
+
+def run_mcmc(
+    potential_fn,
+    z0,
+    key,
+    num_warmup=500,
+    num_samples=500,
+    num_chains=4,
+    algorithm="nuts",
+    max_tree_depth=10,
+    num_leapfrog_steps=32,
+    initial_step_size=0.1,
+    target_accept=0.8,
+    chain_sharding=None,
+):
+    """Sample from exp(-potential_fn) with NUTS or HMC.
+
+    Parameters
+    ----------
+    potential_fn : callable (dim,) -> scalar — the negative log density.
+    z0 : (dim,) or (num_chains, dim) initial positions.
+    key : PRNG key.
+    chain_sharding : optional ``jax.sharding.NamedSharding`` for the chain
+        axis; when given, chain states are placed with it so chains run on
+        separate devices.
+
+    Returns
+    -------
+    MCMCResult with samples of shape (num_chains, num_samples, dim).
+    """
+    z0 = jnp.atleast_2d(z0)
+    if z0.shape[0] == 1 and num_chains > 1:
+        # overdisperse initial positions
+        key, sub = jax.random.split(key)
+        z0 = z0 + 0.1 * jax.random.normal(sub, (num_chains, z0.shape[1]))
+    num_chains = z0.shape[0]
+    dim = z0.shape[1]
+
+    kernel = _make_kernel(
+        potential_fn, algorithm, max_tree_depth, num_leapfrog_steps
+    )
+    batched_kernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
+
+    states = jax.vmap(lambda z: hmc_init(potential_fn, z))(z0)
+    if chain_sharding is not None:
+        states = jax.lax.with_sharding_constraint(states, chain_sharding)
+
+    # ---- warmup phase A: step-size adaptation with identity mass ----------
+    n_phase_a = max(num_warmup // 10, 1)
+    n_phase_b = num_warmup - n_phase_a
+    inv_mass = jnp.ones(dim)
+
+    def warmup_a(carry, keys):
+        states, da = carry
+        new_states, infos = batched_kernel(
+            states, keys, jnp.exp(da.log_step), inv_mass
+        )
+        # cross-chain adaptation: mean acceptance across the chain axis
+        da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
+        return (new_states, da), None
+
+    da = da_init(jnp.asarray(initial_step_size))
+    keys_a = jax.random.split(jax.random.fold_in(key, 0), (n_phase_a, num_chains))
+    (states, da), _ = jax.lax.scan(warmup_a, (states, da), keys_a)
+
+    # ---- warmup phase B: step size + diagonal mass (Welford) ---------------
+    def warmup_b(carry, keys):
+        states, da, wf = carry
+        new_states, infos = batched_kernel(
+            states, keys, jnp.exp(da.log_step), inv_mass
+        )
+        da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
+        # accumulate over all chains (cross-chain mass estimation)
+        wf = jax.lax.fori_loop(
+            0,
+            num_chains,
+            lambda i, w: welford_update(w, new_states.z[i]),
+            wf,
+        )
+        return (new_states, da, wf), None
+
+    if n_phase_b > 0:
+        wf = welford_init(dim)
+        keys_b = jax.random.split(
+            jax.random.fold_in(key, 1), (n_phase_b, num_chains)
+        )
+        (states, da, wf), _ = jax.lax.scan(warmup_b, (states, da, wf), keys_b)
+        inv_mass = welford_variance(wf)
+
+    # ---- short step-size re-adaptation under the new metric ---------------
+    n_phase_c = max(num_warmup // 10, 1)
+    da = da_init(jnp.exp(da.log_step_avg))
+
+    def warmup_c(carry, keys):
+        states, da = carry
+        new_states, infos = batched_kernel(
+            states, keys, jnp.exp(da.log_step), inv_mass
+        )
+        da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
+        return (new_states, da), None
+
+    keys_c = jax.random.split(jax.random.fold_in(key, 2), (n_phase_c, num_chains))
+    (states, da), _ = jax.lax.scan(warmup_c, (states, da), keys_c)
+    step_size = jnp.exp(da.log_step_avg)
+
+    # ---- sampling ----------------------------------------------------------
+    def sample_step(states, keys):
+        new_states, infos = batched_kernel(states, keys, step_size, inv_mass)
+        out = (
+            new_states.z,
+            new_states.potential,
+            infos.accept_prob,
+            infos.diverging,
+            infos.num_steps,
+        )
+        return new_states, out
+
+    keys_s = jax.random.split(jax.random.fold_in(key, 3), (num_samples, num_chains))
+    states, (zs, pots, accepts, divs, steps) = jax.lax.scan(
+        sample_step, states, keys_s
+    )
+
+    # scan stacks on axis 0 (time); move chains first
+    return MCMCResult(
+        samples=jnp.moveaxis(zs, 0, 1),
+        potential=jnp.moveaxis(pots, 0, 1),
+        accept_prob=jnp.moveaxis(accepts, 0, 1),
+        diverging=jnp.moveaxis(divs, 0, 1),
+        step_size=step_size,
+        inv_mass_diag=inv_mass,
+        num_leapfrog=jnp.moveaxis(steps, 0, 1),
+    )
+
+
+def sample_density_posterior(
+    estimator,
+    num_warmup=500,
+    num_samples=500,
+    num_chains=4,
+    algorithm="nuts",
+    seed=0,
+    **kwargs,
+):
+    """Draw posterior samples of the latent GP function of a fitted (or
+    prepared) density estimator and return (MCMCResult, function samples).
+
+    This supersedes the reference's Laplace/ADVI posterior approximations
+    with exact MCMC over the whitened latents z; the function-space samples
+    are ``transform(z) = L z + mu`` applied per draw.
+    """
+    if estimator.loss_func is None:
+        raise ValueError(
+            "Estimator not prepared. Call prepare_inference(x) first."
+        )
+    potential_fn = estimator.loss_func
+    z0 = estimator.initial_value
+    if getattr(estimator, "pre_transformation", None) is not None:
+        z0 = estimator.pre_transformation
+    key = jax.random.PRNGKey(seed)
+    result = run_mcmc(
+        potential_fn,
+        z0,
+        key,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        num_chains=num_chains,
+        algorithm=algorithm,
+        **kwargs,
+    )
+    transform = estimator.transform
+    flat = result.samples.reshape((-1,) + result.samples.shape[2:])
+    function_samples = jax.vmap(transform)(flat)
+    return result, function_samples
