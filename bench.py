@@ -1,0 +1,82 @@
+"""Benchmark: DensityEstimator fit_predict on the reference's headline
+workload shape (8,627 cells, 5000-landmark sparse GP — the basic-tutorial
+measurement that took the reference 28.4 s on CPU, see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the speedup over the reference's 28.4 s (>1 is faster).
+
+Runs on whatever accelerator JAX selects (the driver provides one TPU chip);
+falls back gracefully to CPU.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_SECONDS = 28.4  # notebooks/basic_tutorial.ipynb cell 12 ("Wall time: 28.4 s")
+N_CELLS = 8627
+N_DIMS = 20
+
+
+def make_data(key, n, d):
+    """Clustered synthetic data mimicking diffusion-map eigenvector scales."""
+    import jax
+    import jax.numpy as jnp
+
+    k_centers, k_assign, k_noise, k_scale = jax.random.split(key, 4)
+    n_clusters = 12
+    centers = jax.random.normal(k_centers, (n_clusters, d)) * 2.0
+    assign = jax.random.randint(k_assign, (n,), 0, n_clusters)
+    scales = 0.3 + 0.4 * jax.random.uniform(k_scale, (n_clusters, 1))
+    x = centers[assign] + scales[assign] * jax.random.normal(k_noise, (n, d))
+    # decaying per-dimension scale like DM eigenvectors
+    decay = jnp.exp(-0.15 * jnp.arange(d))
+    return x * decay[None, :]
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: repeated bench runs skip recompiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    import mellon_tpu
+
+    key = jax.random.PRNGKey(42)
+    x = make_data(key, N_CELLS, N_DIMS)
+    x.block_until_ready()
+
+    est = mellon_tpu.DensityEstimator()
+    t0 = time.time()
+    log_density = est.fit_predict(x)
+    log_density.block_until_ready()
+    elapsed = time.time() - t0
+
+    assert bool(jnp.all(jnp.isfinite(log_density))), "non-finite density"
+
+    result = {
+        "metric": "density_fit_predict_8627_cells_seconds",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # keep the contract: always emit one JSON line
+        print(json.dumps({
+            "metric": "density_fit_predict_8627_cells_seconds",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        sys.exit(1)

@@ -93,18 +93,17 @@ def _check_obs_variance(obj):
 def _get_L(x, cov_func, jitter=DEFAULT_JITTER, y_cov_factor=None, K=None):
     """Cholesky of k(x,x)+noise with the reference's NaN error semantics
     (parity: ``mellon/conditional.py:69-81``)."""
+    from ..ops.linalg import safe_cholesky
+
     if K is None:
         K = cov_func(x, x)
     K = add_variance(K, y_cov_factor, jitter=jitter)
-    L = jnp.linalg.cholesky(K)
-    if bool(jnp.any(jnp.isnan(L))):
-        message = (
-            f"Covariance not positively definite with jitter={jitter}. "
-            "Consider increasing the jitter for numerical stabilization."
-        )
-        logger.error(message)
-        raise ValueError(message)
-    return L
+    # In f32 (TPU default) the factorization escalates jitter and finally
+    # clamps the spectrum before failing; the reference runs f64 where the
+    # first attempt virtually always succeeds.
+    max_tries = 0 if K.dtype == jnp.float64 else 3
+    # K already carries the noise/jitter on its diagonal
+    return safe_cholesky(K, jitter=0.0, max_tries=max_tries)
 
 
 def _sigma_to_y_cov_factor(sigma, y_cov_factor, n):

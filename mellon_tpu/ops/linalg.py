@@ -36,21 +36,51 @@ def cholesky_with_check(K, jitter=DEFAULT_JITTER):
 
 
 def safe_cholesky(K, jitter=DEFAULT_JITTER, max_tries=0):
-    """Cholesky with optional geometric jitter escalation.
+    """Cholesky with optional geometric jitter escalation and an
+    eigenvalue-clamped rebuild as the final fallback.
 
     With ``max_tries=0`` this is exactly the reference behaviour (raise on
-    NaN).  On TPU (f32) callers may pass ``max_tries>0`` to retry with
-    10x jitter before giving up — trading a tiny bias for robustness.
+    NaN).  With ``max_tries>0`` (the f32/TPU default) it retries with 10x
+    jitter, then — for genuinely ill-conditioned PSD kernels, common for
+    wide Matern kernels over thousands of landmarks — eigendecomposes,
+    clamps the spectrum at a relative floor, rebuilds, and factorizes the
+    rebuilt matrix.  The result is always lower-triangular, so every
+    downstream triangular solve works unchanged.
     """
-    A = stabilize(K, jitter)
+    A = stabilize(K, jitter) if jitter > 0 else K
     L = jnp.linalg.cholesky(A)
     tries = 0
+    extra = max(jitter, DEFAULT_JITTER)
     while bool(jnp.any(jnp.isnan(L))) and tries < max_tries:
-        jitter = jitter * 10
+        extra = extra * 10
         tries += 1
-        logger.warning(f"Cholesky failed; retrying with jitter={jitter:.2e}.")
-        A = stabilize(K, jitter)
+        logger.warning(f"Cholesky failed; retrying with jitter={extra:.2e}.")
+        A = stabilize(K, extra)
         L = jnp.linalg.cholesky(A)
+    if bool(jnp.any(jnp.isnan(L))) and max_tries > 0:
+        # Precision fallback: the kernel matrix is PSD but its condition
+        # number exceeds f32 resolution (common for wide Matern kernels over
+        # thousands of landmarks).  Factorize once on the host in f64 — the
+        # one-time m³ cost matches what the reference spends (its whole
+        # pipeline is host f64) while all O(n·m) compute stays on device.
+        # (TPU-side eigh at m ~ 5000 is minutes; host dpotrf is seconds.)
+        import numpy as np
+
+        logger.warning(
+            "Cholesky failed after jitter escalation; "
+            "factorizing once on host in float64."
+        )
+        A_host = np.asarray(jax.device_get(K), dtype=np.float64)
+        host_jitter = max(jitter, DEFAULT_JITTER)
+        A_host[np.diag_indices_from(A_host)] += host_jitter
+        for _ in range(8):
+            try:
+                L_host = np.linalg.cholesky(A_host)
+                L = jnp.asarray(L_host, dtype=K.dtype)
+                break
+            except np.linalg.LinAlgError:
+                A_host[np.diag_indices_from(A_host)] += 9 * host_jitter
+                host_jitter *= 10
     if bool(jnp.any(jnp.isnan(L))):
         message = (
             f"Covariance not positively definite with jitter={jitter}. "
@@ -91,11 +121,14 @@ def _eigendecomposition(A, rank=DEFAULT_RANK):
 
 def _full_rank(x, cov_func, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER):
     """L = chol(K + max(sigma^2, jitter) I)
-    (parity: ``mellon/decomposition.py:79-123``)."""
+    (parity: ``mellon/decomposition.py:79-123``; in f32 the jitter escalates
+    geometrically before failing, which the reference — running f64 — never
+    needed)."""
     sigma2 = jnp.square(sigma)
     sigma2 = jnp.where(sigma2 < jitter, jitter, sigma2)
-    W = stabilize(cov_func(x, x), sigma2)
-    return cholesky_with_check(W, jitter)
+    K = cov_func(x, x)
+    max_tries = 0 if K.dtype == jnp.float64 else 3
+    return safe_cholesky(K, jitter=float(jnp.maximum(sigma2, jitter)), max_tries=max_tries)
 
 
 def _full_decomposition_low_rank(

@@ -27,8 +27,16 @@ def _knn_blocked(query, x, k, batch_size):
     """Top-k smallest distances from each query row to all of x.
 
     Returns (distances (nq, k), indices (nq, k)), sorted ascending.
+
+    f32 note: the matmul form ``|x|² - 2xy + |y|²`` suffers catastrophic
+    cancellation for small distances (error ~ eps·|x|², which dwarfs a tiny
+    true distance and would corrupt the log-distance heuristics downstream).
+    It is therefore only used to select 2k candidates; the candidate
+    distances are recomputed exactly from coordinate differences and
+    re-ranked.
     """
     nq = query.shape[0]
+    n_cand = min(2 * k + 4, x.shape[0])
     n_blocks = -(-nq // batch_size)
     pad = n_blocks * batch_size - nq
     # Pad with the first row; padded results are sliced off below.
@@ -39,8 +47,16 @@ def _knn_blocked(query, x, k, batch_size):
 
     def block_topk(qb):
         d = distance(qb, x)
-        neg_vals, idx = jax.lax.top_k(-d, k)
-        return -neg_vals, idx
+        _, cand_idx = jax.lax.top_k(-d, n_cand)            # (B, n_cand)
+        # exact recompute from coordinate differences (no cancellation)
+        nb = x[cand_idx]                                    # (B, n_cand, dim)
+        exact = jnp.sqrt(
+            jnp.sum(jnp.square(qb[:, None, :] - nb), axis=-1)
+        )
+        order = jnp.argsort(exact, axis=1)[:, :k]
+        dists = jnp.take_along_axis(exact, order, axis=1)
+        idx = jnp.take_along_axis(cand_idx, order, axis=1)
+        return dists, idx
 
     dists, idx = jax.lax.map(block_topk, blocks)
     dists = dists.reshape(n_blocks * batch_size, k)[:nq]

@@ -303,16 +303,27 @@ def compute_d_factal(x, k=10, n=500, seed=432):
     return float(local_dims.mean())
 
 
+@jax.jit
+def _mu_kernel(nn_distances, d):
+    return jnp.quantile(mle(nn_distances, d), 0.01) - 10
+
+
+@jax.jit
+def _ls_kernel(nn_distances):
+    return jnp.exp(jnp.log(nn_distances).mean() + 3.0)
+
+
 def compute_mu(nn_distances, d):
     """1st percentile of the NN MLE minus 10
-    (parity: ``mellon/parameters.py:586-599``)."""
-    return float(jnp.quantile(mle(nn_distances, d), 0.01)) - 10
+    (parity: ``mellon/parameters.py:586-599``).  One fused jit call — eager
+    op-by-op dispatch is expensive on remote-compiled backends."""
+    return float(_mu_kernel(nn_distances, d))
 
 
 def compute_ls(nn_distances):
     """Geometric-mean NN distance times e³
     (parity: ``mellon/parameters.py:602-613``)."""
-    return float(jnp.exp(jnp.log(nn_distances).mean() + 3.0))
+    return float(_ls_kernel(nn_distances))
 
 
 def compute_cov_func(cov_func_curry, ls, ls_time=None):

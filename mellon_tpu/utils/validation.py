@@ -214,6 +214,30 @@ def validate_1d(x):
     return x
 
 
+def _nn_repair_kernel(nn_distances):
+    """Single fused computation of invalid-value masks, counts and repaired
+    distances (one jit call instead of ~8 eager dispatches)."""
+    import jax
+
+    @jax.jit
+    def kernel(nn):
+        nan_mask = jnp.isnan(nn)
+        inf_mask = jnp.isinf(nn)
+        non_positive_mask = nn <= 0
+        bad_idx = nan_mask | inf_mask | non_positive_mask
+        min_positive = jnp.min(jnp.where(bad_idx, jnp.inf, nn))
+        repaired = jnp.where(~bad_idx, nn, min_positive)
+        return (
+            repaired,
+            nan_mask.sum(),
+            inf_mask.sum(),
+            non_positive_mask.sum(),
+            jnp.all(bad_idx),
+        )
+
+    return kernel(nn_distances)
+
+
 def validate_nn_distances(nn_distances, optional=False):
     """Repair invalid nearest-neighbor distances; parity with
     ``mellon/validation.py:528-592``."""
@@ -224,16 +248,15 @@ def validate_nn_distances(nn_distances, optional=False):
         logger.error(message)
         raise ValueError(message)
 
-    nan_mask = jnp.isnan(nn_distances)
-    inf_mask = jnp.isinf(nn_distances)
-    non_positive_mask = nn_distances <= 0
-    nan_count = int(nan_mask.sum())
-    inf_count = int(inf_mask.sum())
-    negative_count = int(non_positive_mask.sum())
+    repaired, nan_count, inf_count, negative_count, all_bad = _nn_repair_kernel(
+        nn_distances
+    )
+    nan_count = int(nan_count)
+    inf_count = int(inf_count)
+    negative_count = int(negative_count)
     total_invalid = nan_count + inf_count + negative_count
 
-    bad_idx = nan_mask | inf_mask | non_positive_mask
-    if bool(jnp.all(bad_idx)):
+    if bool(all_bad):
         message = (
             f"All {total_invalid:,} computed nearest neighbor distances "
             "(`nn_distances` attribute) contain invalid values: "
@@ -245,8 +268,7 @@ def validate_nn_distances(nn_distances, optional=False):
         logger.error(message)
         raise ValueError(message)
 
-    min_positive = jnp.min(jnp.where(bad_idx, jnp.inf, nn_distances))
-    nn_distances = jnp.where(~bad_idx, nn_distances, min_positive)
+    nn_distances = repaired
 
     if total_invalid > 0:
         logger.warning(
