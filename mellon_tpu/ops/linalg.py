@@ -35,29 +35,42 @@ def cholesky_with_check(K, jitter=DEFAULT_JITTER):
     return L
 
 
+@jax.jit
+def _jittered_cholesky(K, jitter):
+    """One reusable program: chol(K + jitter I) and a validity flag.
+
+    The jitter is a runtime operand (not a baked constant) so escalation
+    retries reuse the same executable — important on backends where loading
+    a new program is expensive.
+    """
+    idx = jnp.arange(K.shape[0])
+    A = K.at[idx, idx].add(jitter)
+    L = jnp.linalg.cholesky(A)
+    ok = ~jnp.any(jnp.isnan(L))
+    return L, ok
+
+
 def safe_cholesky(K, jitter=DEFAULT_JITTER, max_tries=0):
-    """Cholesky with optional geometric jitter escalation and an
-    eigenvalue-clamped rebuild as the final fallback.
+    """Cholesky with optional geometric jitter escalation and a host-f64
+    factorization as the final fallback.
 
     With ``max_tries=0`` this is exactly the reference behaviour (raise on
     NaN).  With ``max_tries>0`` (the f32/TPU default) it retries with 10x
-    jitter, then — for genuinely ill-conditioned PSD kernels, common for
-    wide Matern kernels over thousands of landmarks — eigendecomposes,
-    clamps the spectrum at a relative floor, rebuilds, and factorizes the
-    rebuilt matrix.  The result is always lower-triangular, so every
-    downstream triangular solve works unchanged.
+    jitter (same executable, jitter is a runtime operand), then — for
+    genuinely ill-conditioned PSD kernels, common for wide Matern kernels
+    over thousands of landmarks — factorizes once on the host in f64.  The
+    result is always lower-triangular, so every downstream triangular solve
+    works unchanged.
     """
-    A = stabilize(K, jitter) if jitter > 0 else K
-    L = jnp.linalg.cholesky(A)
+    L, ok = _jittered_cholesky(K, jnp.asarray(jitter, dtype=K.dtype))
     tries = 0
     extra = max(jitter, DEFAULT_JITTER)
-    while bool(jnp.any(jnp.isnan(L))) and tries < max_tries:
+    while not bool(ok) and tries < max_tries:
         extra = extra * 10
         tries += 1
         logger.warning(f"Cholesky failed; retrying with jitter={extra:.2e}.")
-        A = stabilize(K, extra)
-        L = jnp.linalg.cholesky(A)
-    if bool(jnp.any(jnp.isnan(L))) and max_tries > 0:
+        L, ok = _jittered_cholesky(K, jnp.asarray(extra, dtype=K.dtype))
+    if not bool(ok) and max_tries > 0:
         # Precision fallback: the kernel matrix is PSD but its condition
         # number exceeds f32 resolution (common for wide Matern kernels over
         # thousands of landmarks).  Factorize once on the host in f64 — the
