@@ -115,7 +115,9 @@ class BaseEstimator:
             initial_value, "initial_value", optional=True
         )
         self.optimizer = validate_string(
-            optimizer, "optimizer", choices={"adam", "advi", "L-BFGS-B"}
+            optimizer,
+            "optimizer",
+            choices={"adam", "advi", "L-BFGS-B", "nuts", "smc"},
         )
         self.n_iter = validate_positive_int(n_iter, "n_iter")
         self.init_learn_rate = validate_positive_float(
@@ -330,6 +332,70 @@ class BaseEstimator:
             self.pre_transformation_std = None
             self.opt_state = results.opt_state
             self.losses = [results.loss]
+        elif optimizer == "nuts":
+            # full posterior via NUTS (new relative to the reference); the
+            # posterior mean/std summarize the chain for the predictor's
+            # mean-field uncertainty machinery, and the raw draws are kept
+            # on .posterior_samples
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from ..inference.mcmc import run_mcmc
+
+            seed = (
+                self.random_state
+                if self.random_state is not None
+                else DEFAULT_RANDOM_SEED
+            )
+            result = run_mcmc(
+                function,
+                initial_value,
+                _jax.random.PRNGKey(seed),
+                num_warmup=max(self.n_iter, 200),
+                num_samples=max(self.n_iter, 200),
+                num_chains=4,
+            )
+            flat = result.samples.reshape((-1,) + result.samples.shape[2:])
+            self.pre_transformation = flat.mean(axis=0)
+            self.pre_transformation_std = flat.std(axis=0)
+            self.posterior_samples = result.samples
+            self.mcmc_result = result
+            self.losses = _jnp.ravel(result.potential)
+        elif optimizer == "smc":
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from ..inference.smc import run_smc
+
+            seed = (
+                self.random_state
+                if self.random_state is not None
+                else DEFAULT_RANDOM_SEED
+            )
+            dim = int(initial_value.shape[-1]) if initial_value.ndim == 1 else int(
+                initial_value.size
+            )
+            if initial_value.ndim != 1:
+                raise ValueError(
+                    "optimizer='smc' currently supports 1-d latent vectors."
+                )
+
+            def prior_logpdf(z):
+                return -0.5 * _jnp.sum(z**2) - 0.5 * dim * _jnp.log(
+                    2 * _jnp.pi
+                )
+
+            def loglik(z):
+                return -function(z) - prior_logpdf(z)
+
+            result = run_smc(
+                loglik, dim, _jax.random.PRNGKey(seed), num_particles=1024
+            )
+            self.pre_transformation = result.particles.mean(axis=0)
+            self.pre_transformation_std = result.particles.std(axis=0)
+            self.posterior_samples = result.particles
+            self.smc_result = result
+            self.losses = [float(-result.log_evidence)]
         else:
             error = ValueError(
                 f"Unknown optimizer {optimizer}. You can use .loss_func and "

@@ -20,6 +20,9 @@ from ..utils.util import distance
 logger = logging.getLogger("mellon_tpu")
 
 DEFAULT_BATCH_SIZE = 1024
+# database rows per distance tile; bounds the (batch x cols) tile to
+# ~batch*cols*4 bytes in VMEM-friendly strips for very large n
+DEFAULT_COL_BLOCK = 131072
 
 
 @partial(jax.jit, static_argnames=("k", "batch_size"))
@@ -45,9 +48,53 @@ def _knn_blocked(query, x, k, batch_size):
     )
     blocks = query_padded.reshape(n_blocks, batch_size, query.shape[1])
 
-    def block_topk(qb):
+    def candidates_small(qb):
         d = distance(qb, x)
-        _, cand_idx = jax.lax.top_k(-d, n_cand)            # (B, n_cand)
+        neg_vals, cand_idx = jax.lax.top_k(-d, n_cand)      # (B, n_cand)
+        return cand_idx
+
+    def candidates_streamed(qb):
+        # column-blocked streaming top-k for atlas-scale n: one
+        # (batch x col_block) distance strip at a time with a running
+        # candidate merge — memory stays O(batch * col_block)
+        col_block = DEFAULT_COL_BLOCK
+        n = x.shape[0]
+        n_col_blocks = -(-n // col_block)
+        n_pad_cols = n_col_blocks * col_block - n
+        x_padded = jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (n_pad_cols,) + x.shape[1:])], axis=0
+        ).reshape(n_col_blocks, col_block, x.shape[1])
+
+        def col_step(carry, inputs):
+            run_neg, run_idx = carry
+            xb, col_offset = inputs
+            d = distance(qb, xb)
+            valid = (col_offset + jnp.arange(col_block)) < n
+            d = jnp.where(valid[None, :], d, jnp.inf)
+            neg_vals, local_idx = jax.lax.top_k(-d, n_cand)
+            merged_neg = jnp.concatenate([run_neg, neg_vals], axis=1)
+            merged_idx = jnp.concatenate(
+                [run_idx, col_offset + local_idx], axis=1
+            )
+            new_neg, pos = jax.lax.top_k(merged_neg, n_cand)
+            new_idx = jnp.take_along_axis(merged_idx, pos, axis=1)
+            return (new_neg, new_idx), None
+
+        init = (
+            jnp.full((qb.shape[0], n_cand), -jnp.inf, dtype=x.dtype),
+            jnp.zeros((qb.shape[0], n_cand), dtype=jnp.int32),
+        )
+        offsets = (jnp.arange(n_col_blocks) * col_block).astype(jnp.int32)
+        (run_neg, run_idx), _ = jax.lax.scan(
+            col_step, init, (x_padded, offsets)
+        )
+        return run_idx
+
+    def block_topk(qb):
+        if x.shape[0] > DEFAULT_COL_BLOCK:
+            cand_idx = candidates_streamed(qb)
+        else:
+            cand_idx = candidates_small(qb)
         # exact recompute from coordinate differences (no cancellation)
         nb = x[cand_idx]                                    # (B, n_cand, dim)
         exact = jnp.sqrt(

@@ -197,3 +197,43 @@ def test_diagnostics_on_iid_samples():
     np.testing.assert_allclose(rhat, 1.0, atol=0.05)
     ess = effective_sample_size(samples)
     assert np.all(ess > 1000)  # iid -> ess ~ total draws
+
+
+def test_estimator_nuts_optimizer():
+    """optimizer='nuts' on the estimator: full posterior with std summary."""
+    from mellon_tpu import DensityEstimator
+
+    x = jax.random.normal(jax.random.PRNGKey(11), (40, 2))
+    est = DensityEstimator(optimizer="nuts", n_iter=200)
+    ld = est.fit_predict(x)
+    assert np.all(np.isfinite(np.asarray(ld)))
+    assert est.pre_transformation_std is not None
+    assert est.posterior_samples.shape[0] == 4  # chains
+    # MAP-style estimate should agree with the posterior mean path
+    est_map = DensityEstimator()
+    ld_map = est_map.fit_predict(x)
+    assert np.corrcoef(np.asarray(ld), np.asarray(ld_map))[0, 1] > 0.95
+
+
+def test_estimator_smc_optimizer():
+    from mellon_tpu import DensityEstimator
+
+    x = jax.random.normal(jax.random.PRNGKey(12), (40, 2))
+    est = DensityEstimator(optimizer="smc")
+    ld = est.fit_predict(x)
+    assert np.all(np.isfinite(np.asarray(ld)))
+    assert est.pre_transformation_std is not None
+
+
+def test_streaming_knn_matches_exact():
+    import mellon_tpu.ops.neighbors as nb
+
+    x = jax.random.normal(jax.random.PRNGKey(13), (300, 3))
+    expected = np.asarray(nb.knn_distances(x, 4))
+    old = nb.DEFAULT_COL_BLOCK
+    try:
+        nb.DEFAULT_COL_BLOCK = 64  # force the column-streamed path
+        got = np.asarray(nb.knn_distances(x, 4))
+    finally:
+        nb.DEFAULT_COL_BLOCK = old
+    np.testing.assert_allclose(got, expected, atol=1e-6)
