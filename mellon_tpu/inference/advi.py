@@ -50,9 +50,14 @@ def elbo_estimate(logprob, key, mean, log_std, num_samples):
 
 
 @partial(jax.jit, static_argnames=("loss_func", "n_iter", "nsamples"))
-def _run_advi(loss_func, initial_parameters, n_iter, init_learn_rate, nsamples, seed):
+def _run_advi(
+    loss_func, initial_parameters, n_iter, init_learn_rate, nsamples, seed,
+    *loss_args,
+):
+    fun = (lambda z: loss_func(z, *loss_args)) if loss_args else loss_func
+
     def negative_logprob(x):
-        return -loss_func(x)
+        return -fun(x)
 
     def objective(params, key):
         mean, log_std = params
@@ -86,13 +91,21 @@ def run_advi(
     nsamples=DEFAULT_NUM_SAMPLES,
     jit=True,
     seed=0,
+    loss_args=(),
 ):
     """Fit a mean-field Gaussian approximation to exp(-loss_func).
 
     Returns (mean, std, ELBO history); API parity with
-    ``mellon/inference.py:821-876``.
+    ``mellon/inference.py:821-876``.  Pass big operands via ``loss_args``
+    (``loss_func(z, *loss_args)``) so they stay runtime arguments.
     """
     mean, std, elbos = _run_advi(
-        loss_func, initial_parameters, int(n_iter), init_learn_rate, int(nsamples), seed
+        loss_func,
+        initial_parameters,
+        int(n_iter),
+        init_learn_rate,
+        int(nsamples),
+        seed,
+        *loss_args,
     )
     return Results(mean, std, elbos)

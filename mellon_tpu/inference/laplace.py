@@ -18,30 +18,56 @@ import jax.numpy as jnp
 logger = logging.getLogger("mellon_tpu")
 
 
-def hessian_diagonal(loss_func, z, batch_size=512):
-    """Diagonal of the Hessian of loss_func at z via chunked HVPs."""
-    grad_f = jax.grad(loss_func)
-    flat = z.reshape(-1)
-    k = flat.shape[0]
+from functools import partial
 
-    def hvp_diag(e_flat):
-        e = e_flat.reshape(z.shape)
+
+@partial(jax.jit, static_argnames=("loss_func", "chunk"))
+def _hvp_diag_chunk(loss_func, z, start, chunk, *loss_args):
+    """HVP-diagonal for one contiguous basis chunk; start is a runtime
+    operand so every chunk reuses one executable."""
+    fun = (lambda p: loss_func(p, *loss_args)) if loss_args else loss_func
+    grad_f = jax.grad(fun)
+    k = z.size
+
+    def hvp_diag(offset):
+        e = jnp.zeros((k,), dtype=z.dtype).at[start + offset].set(1.0).reshape(
+            z.shape
+        )
         _, hvp = jax.jvp(grad_f, (z,), (e,))
         return jnp.vdot(hvp, e)
 
-    chunks = []
-    for start in range(0, k, batch_size):
-        stop = min(start + batch_size, k)
-        basis = jnp.zeros((stop - start, k), dtype=z.dtype)
-        basis = basis.at[jnp.arange(stop - start), jnp.arange(start, stop)].set(1.0)
-        chunks.append(jax.vmap(hvp_diag)(basis))
-    return jnp.concatenate(chunks).reshape(z.shape)
+    return jax.vmap(hvp_diag)(jnp.arange(chunk))
 
 
-def compute_laplace_std(loss_func, pre_transformation, jit=False, batch_size=512):
+def hessian_diagonal(loss_func, z, batch_size=512, loss_args=()):
+    """Diagonal of the Hessian of loss_func at z via chunked HVPs."""
+    k = z.size
+    chunk = min(batch_size, k)
+    n_chunks = -(-k // chunk)
+    parts = []
+    for i in range(n_chunks):
+        start = i * chunk  # overlap on the last chunk keeps the shape static
+        start = min(start, k - chunk)
+        parts.append(
+            _hvp_diag_chunk(
+                loss_func, z, jnp.asarray(start), chunk, *loss_args
+            )
+        )
+    diag = jnp.zeros((k,), dtype=z.dtype)
+    for i, part in enumerate(parts):
+        start = min(i * chunk, k - chunk)
+        diag = diag.at[start : start + chunk].set(part)
+    return diag.reshape(z.shape)
+
+
+def compute_laplace_std(
+    loss_func, pre_transformation, jit=False, batch_size=512, loss_args=()
+):
     """Posterior std = 1/sqrt(clip(diag Hessian, 1e-8))
     (parity: ``mellon/inference.py:291-338``)."""
-    h_diag = hessian_diagonal(loss_func, pre_transformation, batch_size=batch_size)
+    h_diag = hessian_diagonal(
+        loss_func, pre_transformation, batch_size=batch_size, loss_args=loss_args
+    )
     h_diag = jnp.maximum(h_diag, 1e-8)
     stds = 1.0 / jnp.sqrt(h_diag)
     logger.info(

@@ -4,8 +4,62 @@ Behavioural parity target: ``mellon/inference.py:125-219, 341-372``.
 """
 
 import jax.numpy as jnp
+from jax.scipy.special import gammaln
 
 from .likelihoods import nearest_neighbors_likelihood, normal_prior, poisson_likelihood
+
+
+# ---------------------------------------------------------------------------
+# static loss functions (operands threaded, nothing closed over)
+#
+# These are the forms the optimizers/samplers jit: because the function
+# identity is a stable module-level object and every operand (including the
+# n x m matrix L) is a runtime argument, one compiled program serves every
+# fit of the same shape — no multi-hundred-MB weight constants are baked
+# into executables and compilation caches hit across fits and processes.
+# ---------------------------------------------------------------------------
+
+def density_loss(z, L, nn_distances, d, mu):
+    """Negative log-posterior of the whitened density model, fully
+    argument-threaded (same math as :func:`compute_loss_func`)."""
+    k = z.shape[0]
+    prior = -(1 / 2) * jnp.sum(z**2) - (k / 2) * jnp.log(2 * jnp.pi)
+    f = L.dot(z) + mu
+    const = (d * jnp.log(jnp.pi) / 2) - gammaln(d / 2 + 1)
+    V = jnp.log(nn_distances) * d + const
+    Vdr = jnp.log(d) + ((d - 1) * jnp.log(nn_distances)) + const
+    likelihood = jnp.sum((f + Vdr) - jnp.exp(f + V))
+    return -(prior + likelihood)
+
+
+def density_loglik(z, L, nn_distances, d, mu):
+    """Likelihood term of the whitened density model alone (for SMC
+    tempering), fully argument-threaded."""
+    f = L.dot(z) + mu
+    const = (d * jnp.log(jnp.pi) / 2) - gammaln(d / 2 + 1)
+    V = jnp.log(nn_distances) * d + const
+    Vdr = jnp.log(d) + ((d - 1) * jnp.log(nn_distances)) + const
+    return jnp.sum((f + Vdr) - jnp.exp(f + V))
+
+
+def dimensionality_loss(z, L, distances, mu_dim, mu_dens):
+    """Negative log-posterior of the joint dimension+density model, fully
+    argument-threaded (same math as
+    :func:`compute_dimensionality_loss_func`)."""
+    k = z.shape[0]
+    prior = -(1 / 2) * jnp.sum(z**2) - (k / 2) * jnp.log(2 * jnp.pi)
+    dims = jnp.exp(L.dot(z[0, :]) + mu_dim)
+    log_dens = L.dot(z[1, :]) + mu_dens
+
+    n_neighbors = distances.shape[1]
+    counts = jnp.arange(1, n_neighbors + 1)
+    ldist = jnp.log(jnp.sort(distances, axis=-1)) + jnp.log(jnp.pi) / 2
+    pred = log_dens[:, None] + (
+        dims[:, None] * ldist - gammaln(dims[:, None] / 2 + 1)
+    )
+    logp = pred * counts[None, :] - jnp.exp(pred) - gammaln(counts)[None, :]
+    likelihood = jnp.sum(logp)
+    return -(prior + likelihood)
 
 
 def compute_transform(mu, L):

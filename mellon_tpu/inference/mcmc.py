@@ -2,13 +2,20 @@
 
 NEW capability relative to the reference (see :mod:`.samplers`).  The chain
 axis is a plain batch axis: chains run under ``vmap`` inside one compiled
-``lax.scan``, so placing the chain axis on a device-mesh axis shards chains
-across chips (adaptation statistics reduce across the chain axis, which XLA
-lowers to ``psum`` over ICI when sharded — see
-:func:`mellon_tpu.parallel.sharding.shard_chains`).
+``lax.scan``, so placing the chain axis of the initial state on a
+device-mesh axis shards chains across chips (adaptation statistics reduce
+across the chain axis, which XLA lowers to ``psum`` over ICI when sharded —
+see :func:`mellon_tpu.parallel.sharding.shard_chains`).
+
+Performance contract: the ENTIRE run — three warmup phases and sampling —
+is one jitted program keyed on the (static) potential function and shapes;
+model operands (e.g. the n×m matrix L of the density model) are threaded as
+runtime arguments via ``potential_args``, never baked as constants, so the
+executable is small and reused across fits.
 """
 
 import logging
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -38,86 +45,73 @@ class MCMCResult(NamedTuple):
     num_leapfrog: jnp.ndarray     # (num_chains, num_samples)
 
 
-def _make_kernel(potential_fn, algorithm, max_tree_depth, num_leapfrog_steps):
-    if algorithm == "nuts":
-        return nuts_kernel(potential_fn, max_tree_depth=max_tree_depth)
-    if algorithm == "hmc":
-        return hmc_kernel(potential_fn, num_steps=num_leapfrog_steps)
-    raise ValueError(f"Unknown MCMC algorithm: {algorithm}")
-
-
-def run_mcmc(
+@partial(
+    jax.jit,
+    static_argnames=(
+        "potential_fn",
+        "algorithm",
+        "max_tree_depth",
+        "num_leapfrog_steps",
+        "num_warmup",
+        "num_samples",
+        "target_accept",
+    ),
+)
+def _run_mcmc_compiled(
     potential_fn,
     z0,
     key,
-    num_warmup=500,
-    num_samples=500,
-    num_chains=4,
-    algorithm="nuts",
-    max_tree_depth=10,
-    num_leapfrog_steps=32,
-    initial_step_size=0.1,
-    target_accept=0.8,
-    chain_sharding=None,
+    num_warmup,
+    num_samples,
+    algorithm,
+    max_tree_depth,
+    num_leapfrog_steps,
+    initial_step_size,
+    target_accept,
+    *potential_args,
 ):
-    """Sample from exp(-potential_fn) with NUTS or HMC.
-
-    Parameters
-    ----------
-    potential_fn : callable (dim,) -> scalar — the negative log density.
-    z0 : (dim,) or (num_chains, dim) initial positions.
-    key : PRNG key.
-    chain_sharding : optional ``jax.sharding.NamedSharding`` for the chain
-        axis; when given, chain states are placed with it so chains run on
-        separate devices.
-
-    Returns
-    -------
-    MCMCResult with samples of shape (num_chains, num_samples, dim).
-    """
-    z0 = jnp.atleast_2d(z0)
-    if z0.shape[0] == 1 and num_chains > 1:
-        # overdisperse initial positions
-        key, sub = jax.random.split(key)
-        z0 = z0 + 0.1 * jax.random.normal(sub, (num_chains, z0.shape[1]))
-    num_chains = z0.shape[0]
-    dim = z0.shape[1]
-
-    kernel = _make_kernel(
-        potential_fn, algorithm, max_tree_depth, num_leapfrog_steps
+    pot = (
+        (lambda z: potential_fn(z, *potential_args))
+        if potential_args
+        else potential_fn
     )
+    if algorithm == "nuts":
+        kernel = nuts_kernel(pot, max_tree_depth=max_tree_depth)
+    elif algorithm == "hmc":
+        kernel = hmc_kernel(pot, num_steps=num_leapfrog_steps)
+    else:
+        raise ValueError(f"Unknown MCMC algorithm: {algorithm}")
+
+    num_chains, dim = z0.shape
     batched_kernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
+    states = jax.vmap(lambda z: hmc_init(pot, z))(z0)
 
-    states = jax.vmap(lambda z: hmc_init(potential_fn, z))(z0)
-    if chain_sharding is not None:
-        states = jax.lax.with_sharding_constraint(states, chain_sharding)
-
-    # ---- warmup phase A: step-size adaptation with identity mass ----------
     n_phase_a = max(num_warmup // 10, 1)
-    n_phase_b = num_warmup - n_phase_a
-    inv_mass = jnp.ones(dim)
+    n_phase_b = max(num_warmup - 2 * n_phase_a, 0)
+    n_phase_c = n_phase_a
+
+    # ---- warmup A: step size only, identity mass ---------------------------
+    identity_mass = jnp.ones(dim)
 
     def warmup_a(carry, keys):
         states, da = carry
         new_states, infos = batched_kernel(
-            states, keys, jnp.exp(da.log_step), inv_mass
+            states, keys, jnp.exp(da.log_step), identity_mass
         )
-        # cross-chain adaptation: mean acceptance across the chain axis
         da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
         return (new_states, da), None
 
-    da = da_init(jnp.asarray(initial_step_size))
+    da = da_init(initial_step_size)
     keys_a = jax.random.split(jax.random.fold_in(key, 0), (n_phase_a, num_chains))
     (states, da), _ = jax.lax.scan(warmup_a, (states, da), keys_a)
 
-    # ---- warmup phase B: step size + diagonal mass (Welford) ---------------
+    # ---- warmup B: step size + Welford mass --------------------------------
     def warmup_b(carry, keys):
         states, da, wf = carry
         new_states, infos = batched_kernel(
-            states, keys, jnp.exp(da.log_step), inv_mass
+            states, keys, jnp.exp(da.log_step), identity_mass
         )
         da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
-        # accumulate over all chains (cross-chain mass estimation)
         wf = jax.lax.fori_loop(
             0,
             num_chains,
@@ -126,18 +120,14 @@ def run_mcmc(
         )
         return (new_states, da, wf), None
 
-    if n_phase_b > 0:
-        wf = welford_init(dim)
-        keys_b = jax.random.split(
-            jax.random.fold_in(key, 1), (n_phase_b, num_chains)
-        )
-        (states, da, wf), _ = jax.lax.scan(warmup_b, (states, da, wf), keys_b)
-        inv_mass = welford_variance(wf)
+    wf = welford_init(dim)
+    keys_b = jax.random.split(jax.random.fold_in(key, 1), (n_phase_b, num_chains))
+    (states, da, wf), _ = jax.lax.scan(warmup_b, (states, da, wf), keys_b)
+    inv_mass = jnp.where(
+        wf.count > 2, welford_variance(wf), identity_mass
+    )
 
-    # ---- short step-size re-adaptation under the new metric ---------------
-    n_phase_c = max(num_warmup // 10, 1)
-    da = da_init(jnp.exp(da.log_step_avg))
-
+    # ---- warmup C: step-size re-adaptation under the new metric ------------
     def warmup_c(carry, keys):
         states, da = carry
         new_states, infos = batched_kernel(
@@ -146,6 +136,7 @@ def run_mcmc(
         da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
         return (new_states, da), None
 
+    da = da_init(jnp.exp(da.log_step_avg))
     keys_c = jax.random.split(jax.random.fold_in(key, 2), (n_phase_c, num_chains))
     (states, da), _ = jax.lax.scan(warmup_c, (states, da), keys_c)
     step_size = jnp.exp(da.log_step_avg)
@@ -162,12 +153,13 @@ def run_mcmc(
         )
         return new_states, out
 
-    keys_s = jax.random.split(jax.random.fold_in(key, 3), (num_samples, num_chains))
+    keys_s = jax.random.split(
+        jax.random.fold_in(key, 3), (num_samples, num_chains)
+    )
     states, (zs, pots, accepts, divs, steps) = jax.lax.scan(
         sample_step, states, keys_s
     )
 
-    # scan stacks on axis 0 (time); move chains first
     return MCMCResult(
         samples=jnp.moveaxis(zs, 0, 1),
         potential=jnp.moveaxis(pots, 0, 1),
@@ -176,6 +168,61 @@ def run_mcmc(
         step_size=step_size,
         inv_mass_diag=inv_mass,
         num_leapfrog=jnp.moveaxis(steps, 0, 1),
+    )
+
+
+def run_mcmc(
+    potential_fn,
+    z0,
+    key,
+    num_warmup=500,
+    num_samples=500,
+    num_chains=4,
+    algorithm="nuts",
+    max_tree_depth=10,
+    num_leapfrog_steps=32,
+    initial_step_size=0.1,
+    target_accept=0.8,
+    chain_sharding=None,
+    potential_args=(),
+):
+    """Sample from exp(-potential_fn) with NUTS or HMC.
+
+    Parameters
+    ----------
+    potential_fn : callable — the negative log density; either ``f(z)`` or
+        ``f(z, *potential_args)`` when operands are threaded.
+    z0 : (dim,) or (num_chains, dim) initial positions.
+    key : PRNG key.
+    chain_sharding : optional ``jax.sharding.NamedSharding`` for the chain
+        axis; when given, chain states are placed with it so chains run on
+        separate devices.
+    potential_args : tuple of arrays passed through to ``potential_fn`` as
+        runtime arguments (keeps large operands out of the executable).
+
+    Returns
+    -------
+    MCMCResult with samples of shape (num_chains, num_samples, dim).
+    """
+    z0 = jnp.atleast_2d(z0)
+    if z0.shape[0] == 1 and num_chains > 1:
+        key, sub = jax.random.split(key)
+        z0 = z0 + 0.1 * jax.random.normal(sub, (num_chains, z0.shape[1]))
+    if chain_sharding is not None:
+        z0 = jax.device_put(z0, chain_sharding)
+
+    return _run_mcmc_compiled(
+        potential_fn,
+        z0,
+        key,
+        int(num_warmup),
+        int(num_samples),
+        algorithm,
+        int(max_tree_depth),
+        int(num_leapfrog_steps),
+        jnp.asarray(initial_step_size),
+        float(target_accept),
+        *potential_args,
     )
 
 
@@ -199,7 +246,12 @@ def sample_density_posterior(
         raise ValueError(
             "Estimator not prepared. Call prepare_inference(x) first."
         )
-    potential_fn = estimator.loss_func
+    # use the operand-threaded static loss when the estimator provides it
+    potential_fn = getattr(estimator, "_loss_fn", None)
+    potential_args = getattr(estimator, "_loss_args", ())
+    if potential_fn is None:
+        potential_fn = estimator.loss_func
+        potential_args = ()
     z0 = estimator.initial_value
     if getattr(estimator, "pre_transformation", None) is not None:
         z0 = estimator.pre_transformation
@@ -212,6 +264,7 @@ def sample_density_posterior(
         num_samples=num_samples,
         num_chains=num_chains,
         algorithm=algorithm,
+        potential_args=potential_args,
         **kwargs,
     )
     transform = estimator.transform

@@ -33,15 +33,16 @@ ResultsLoss = namedtuple("Results", "pre_transformation opt_state loss")
 
 
 @partial(jax.jit, static_argnames=("loss_func", "max_iter"))
-def _run_lbfgs(loss_func, initial_value, max_iter, tol):
+def _run_lbfgs(loss_func, initial_value, max_iter, tol, *loss_args):
+    fun = (lambda z: loss_func(z, *loss_args)) if loss_args else loss_func
     opt = optax.lbfgs()
-    value_and_grad = optax.value_and_grad_from_state(loss_func)
+    value_and_grad = optax.value_and_grad_from_state(fun)
 
     def step(carry):
         params, state = carry
         value, grad = value_and_grad(params, state=state)
         updates, state = opt.update(
-            grad, state, params, value=value, grad=grad, value_fn=loss_func
+            grad, state, params, value=value, grad=grad, value_fn=fun
         )
         params = optax.apply_updates(params, updates)
         return params, state
@@ -68,6 +69,7 @@ def minimize_lbfgsb(
     jit=DEFAULT_JIT,
     max_iter=DEFAULT_LBFGS_MAX_ITER,
     tol=DEFAULT_LBFGS_TOL,
+    loss_args=(),
 ):
     """On-device L-BFGS MAP optimization.
 
@@ -75,9 +77,14 @@ def minimize_lbfgsb(
     compatibility; the underlying algorithm is unbounded L-BFGS with zoom
     line search, which matches L-BFGS-B on these box-free problems).  The
     ``jit`` flag is accepted for parity but the solve is always compiled.
+
+    Pass big operands through ``loss_args`` (with ``loss_func`` taking
+    ``(z, *loss_args)``) so they enter the compiled program as runtime
+    arguments instead of baked constants — one stable executable serves
+    every fit of the same shape.
     """
     params, value, n_steps = _run_lbfgs(
-        loss_func, initial_value, int(max_iter), tol
+        loss_func, initial_value, int(max_iter), tol, *loss_args
     )
     logger.info(
         "L-BFGS finished after %d steps with loss %.6g.",
@@ -91,13 +98,14 @@ minimize_lbfgs = minimize_lbfgsb
 
 
 @partial(jax.jit, static_argnames=("loss_func", "n_iter"))
-def _run_adam(loss_func, initial_value, n_iter, init_learn_rate):
+def _run_adam(loss_func, initial_value, n_iter, init_learn_rate, *loss_args):
+    fun = (lambda z: loss_func(z, *loss_args)) if loss_args else loss_func
     schedule = lambda i: jnp.exp(-1e-2 * i) * init_learn_rate
     opt = optax.adam(schedule)
 
     def step(carry, i):
         params, state = carry
-        value, grads = jax.value_and_grad(loss_func)(params)
+        value, grads = jax.value_and_grad(fun)(params)
         updates, state = opt.update(grads, state, params)
         params = optax.apply_updates(params, updates)
         return (params, state), value
@@ -114,14 +122,16 @@ def minimize_adam(
     n_iter=DEFAULT_N_ITER,
     init_learn_rate=DEFAULT_INIT_LEARN_RATE,
     jit=DEFAULT_JIT,
+    loss_args=(),
 ):
     """adam with exponentially decaying learning rate, one compiled scan.
 
     Parity: ``mellon/inference.py:222-269`` (same schedule
     ``exp(-0.01 i) * lr0`` and defaults), but the n_iter steps run as a
     single ``lax.scan`` instead of a Python loop with per-step dispatch.
+    See :func:`minimize_lbfgsb` for the ``loss_args`` convention.
     """
     params, state, losses = _run_adam(
-        loss_func, initial_value, int(n_iter), init_learn_rate
+        loss_func, initial_value, int(n_iter), init_learn_rate, *loss_args
     )
     return Results(params, state, losses)

@@ -14,7 +14,9 @@ placing particles on a mesh axis shards the sweep across devices (the ESS
 reduction and resampling gather become collectives).
 """
 
+import functools
 import logging
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -23,6 +25,23 @@ import jax.numpy as jnp
 from .samplers import hmc_init, hmc_kernel
 
 logger = logging.getLogger("mellon_tpu")
+
+
+@functools.lru_cache(maxsize=None)
+def loglik_from_loss(loss_fn):
+    """Adapt a negative-log-posterior ``loss_fn(z, *args)`` into the
+    likelihood term for tempering (posterior = N(0,I) prior × likelihood).
+
+    Cached so the returned function has a stable identity per ``loss_fn`` —
+    the jit key of the compiled SMC stages stays stable across fits.
+    """
+
+    def loglik(z, *args):
+        dim = z.size
+        prior = -0.5 * jnp.sum(z**2) - 0.5 * dim * jnp.log(2 * jnp.pi)
+        return -loss_fn(z, *args) - prior
+
+    return loglik
 
 
 class SMCResult(NamedTuple):
@@ -68,6 +87,52 @@ def _systematic_resample(key, log_w, num_particles):
     return jnp.searchsorted(cumsum, positions)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("loglik_fn", "num_mutation_steps", "num_leapfrog_steps"),
+)
+def _smc_mutate(
+    loglik_fn,
+    particles,
+    keys,
+    beta,
+    step_size,
+    num_mutation_steps,
+    num_leapfrog_steps,
+    *loglik_args,
+):
+    """num_mutation_steps HMC transitions per particle targeting π_beta
+    (one stable executable; model operands threaded)."""
+    dim = particles.shape[1]
+
+    def potential(z):
+        prior = -0.5 * jnp.sum(z**2) - 0.5 * dim * jnp.log(2 * jnp.pi)
+        return -(prior + beta * loglik_fn(z, *loglik_args))
+
+    kernel = hmc_kernel(potential, num_steps=num_leapfrog_steps)
+
+    def one_chain(z, chain_key):
+        state = hmc_init(potential, z)
+
+        def body(i, carry):
+            state, acc = carry
+            k = jax.random.fold_in(chain_key, i)
+            state, info = kernel(state, k, step_size, jnp.ones(dim))
+            return state, acc + info.accept_prob
+
+        state, acc = jax.lax.fori_loop(
+            0, num_mutation_steps, body, (state, jnp.asarray(0.0))
+        )
+        return state.z, acc / num_mutation_steps
+
+    return jax.vmap(one_chain)(particles, keys)
+
+
+@partial(jax.jit, static_argnames=("loglik_fn",))
+def _smc_batched_loglik(loglik_fn, particles, *loglik_args):
+    return jax.vmap(lambda z: loglik_fn(z, *loglik_args))(particles)
+
+
 def run_smc(
     loglik_fn,
     dim,
@@ -80,9 +145,14 @@ def run_smc(
     max_stages=100,
     prior_sample=None,
     prior_logpdf=None,
+    loglik_args=(),
 ):
     """Anneal particles from N(0, I) (or a custom prior) to the posterior
     ∝ prior · exp(loglik).
+
+    ``loglik_fn`` is either ``f(z)`` or ``f(z, *loglik_args)``; threading the
+    operands keeps the compiled stages free of baked constants.  A custom
+    prior is only supported with the closure form.
 
     Returns an :class:`SMCResult`; ``log_evidence`` estimates
     log ∫ prior(z) exp(loglik(z)) dz.
@@ -90,38 +160,58 @@ def run_smc(
     key, sub = jax.random.split(key)
     if prior_sample is None:
         particles = jax.random.normal(sub, (num_particles, dim))
-        prior_logpdf = lambda z: -0.5 * jnp.sum(z**2) - 0.5 * dim * jnp.log(
-            2 * jnp.pi
-        )
     else:
+        if loglik_args:
+            raise ValueError(
+                "Custom priors require the closure form of loglik_fn."
+            )
         particles = prior_sample(sub, num_particles)
 
-    batched_loglik = jax.jit(jax.vmap(loglik_fn))
+    if prior_sample is not None and prior_logpdf is not None:
+        # custom-prior path: fall back to closures (no operand threading)
+        base_loglik = loglik_fn
 
-    @jax.jit
-    def mutate(particles, keys, beta, step_size):
-        """num_mutation_steps HMC transitions targeting π_beta."""
+        def threaded_loglik(z):
+            return base_loglik(z)
 
-        def potential(z):
-            return -(prior_logpdf(z) + beta * loglik_fn(z))
+        def mutate_custom(particles, keys, beta, step_size):
+            def potential(z):
+                return -(prior_logpdf(z) + beta * base_loglik(z))
 
-        kernel = hmc_kernel(potential, num_steps=num_leapfrog_steps)
+            kernel = hmc_kernel(potential, num_steps=num_leapfrog_steps)
 
-        def one_chain(z, chain_key):
-            state = hmc_init(potential, z)
+            def one_chain(z, chain_key):
+                state = hmc_init(potential, z)
 
-            def body(i, carry):
-                state, acc = carry
-                k = jax.random.fold_in(chain_key, i)
-                state, info = kernel(state, k, step_size, jnp.ones(dim))
-                return state, acc + info.accept_prob
+                def body(i, carry):
+                    state, acc = carry
+                    k = jax.random.fold_in(chain_key, i)
+                    state, info = kernel(state, k, step_size, jnp.ones(dim))
+                    return state, acc + info.accept_prob
 
-            state, acc = jax.lax.fori_loop(
-                0, num_mutation_steps, body, (state, jnp.asarray(0.0))
-            )
-            return state.z, acc / num_mutation_steps
+                state, acc = jax.lax.fori_loop(
+                    0, num_mutation_steps, body, (state, jnp.asarray(0.0))
+                )
+                return state.z, acc / num_mutation_steps
 
-        return jax.vmap(one_chain)(particles, keys)
+            return jax.vmap(one_chain)(particles, keys)
+
+        batched_loglik = jax.jit(jax.vmap(threaded_loglik))
+        mutate = jax.jit(mutate_custom)
+    else:
+        batched_loglik = lambda p: _smc_batched_loglik(
+            loglik_fn, p, *loglik_args
+        )
+        mutate = lambda p, keys, beta, step: _smc_mutate(
+            loglik_fn,
+            p,
+            keys,
+            beta,
+            step,
+            num_mutation_steps,
+            num_leapfrog_steps,
+            *loglik_args,
+        )
 
     beta = 0.0
     betas, ess_hist, accept_hist = [], [], []
@@ -192,17 +282,20 @@ def smc_density_posterior(estimator, num_particles=1024, seed=0, **kwargs):
         )
     dim = int(estimator.initial_value.shape[0])
 
-    def prior_logpdf(z):
-        return -0.5 * jnp.sum(z**2) - 0.5 * dim * jnp.log(2 * jnp.pi)
-
-    loss = estimator.loss_func
-
-    def loglik(z):
-        return -loss(z) - prior_logpdf(z)
+    loss_fn = getattr(estimator, "_loss_fn", None)
+    loss_args = getattr(estimator, "_loss_args", ())
+    if loss_fn is None:
+        loss_fn, loss_args = estimator.loss_func, ()
+    loglik = loglik_from_loss(loss_fn)
 
     key = jax.random.PRNGKey(seed)
     result = run_smc(
-        loglik, dim, key, num_particles=num_particles, **kwargs
+        loglik,
+        dim,
+        key,
+        num_particles=num_particles,
+        loglik_args=loss_args,
+        **kwargs,
     )
     function_samples = jax.vmap(estimator.transform)(result.particles)
     return result, function_samples

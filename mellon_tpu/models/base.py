@@ -298,18 +298,30 @@ class BaseEstimator:
         )
 
     def _run_inference(self):
-        """Optimizer dispatch (parity: ``mellon/base_model.py:371-431``)."""
+        """Optimizer dispatch (parity: ``mellon/base_model.py:371-431``).
+
+        When the estimator provides an operand-threaded static loss
+        (``_loss_fn``/``_loss_args``), the optimizers receive the operands as
+        runtime arguments so one small executable serves every fit; the
+        user-facing ``loss_func`` closure remains available for custom
+        optimization loops.
+        """
         function = self.loss_func
+        loss_fn = getattr(self, "_loss_fn", None)
+        loss_args = getattr(self, "_loss_args", ())
+        if loss_fn is None:
+            loss_fn, loss_args = function, ()
         initial_value = self.initial_value
         optimizer = self.optimizer
         logger.info("Running inference using %s.", optimizer)
         if optimizer == "adam":
             results = minimize_adam(
-                function,
+                loss_fn,
                 initial_value,
                 n_iter=self.n_iter,
                 init_learn_rate=self.init_learn_rate,
                 jit=self.jit,
+                loss_args=loss_args,
             )
             self.pre_transformation = results.pre_transformation
             self.pre_transformation_std = None
@@ -317,17 +329,20 @@ class BaseEstimator:
             self.losses = results.losses
         elif optimizer == "advi":
             results = run_advi(
-                function,
+                loss_fn,
                 initial_value,
                 n_iter=self.n_iter,
                 init_learn_rate=self.init_learn_rate,
                 jit=self.jit,
+                loss_args=loss_args,
             )
             self.pre_transformation = results.pre_transformation
             self.pre_transformation_std = results.pre_transformation_std
             self.losses = results.losses
         elif optimizer == "L-BFGS-B":
-            results = minimize_lbfgsb(function, initial_value, jit=self.jit)
+            results = minimize_lbfgsb(
+                loss_fn, initial_value, jit=self.jit, loss_args=loss_args
+            )
             self.pre_transformation = results.pre_transformation
             self.pre_transformation_std = None
             self.opt_state = results.opt_state
@@ -348,12 +363,13 @@ class BaseEstimator:
                 else DEFAULT_RANDOM_SEED
             )
             result = run_mcmc(
-                function,
+                loss_fn,
                 initial_value,
                 _jax.random.PRNGKey(seed),
                 num_warmup=max(self.n_iter, 200),
                 num_samples=max(self.n_iter, 200),
                 num_chains=4,
+                potential_args=loss_args,
             )
             flat = result.samples.reshape((-1,) + result.samples.shape[2:])
             self.pre_transformation = flat.mean(axis=0)
@@ -365,31 +381,25 @@ class BaseEstimator:
             import jax as _jax
             import jax.numpy as _jnp
 
-            from ..inference.smc import run_smc
+            from ..inference.smc import loglik_from_loss, run_smc
 
             seed = (
                 self.random_state
                 if self.random_state is not None
                 else DEFAULT_RANDOM_SEED
             )
-            dim = int(initial_value.shape[-1]) if initial_value.ndim == 1 else int(
-                initial_value.size
-            )
             if initial_value.ndim != 1:
                 raise ValueError(
                     "optimizer='smc' currently supports 1-d latent vectors."
                 )
-
-            def prior_logpdf(z):
-                return -0.5 * _jnp.sum(z**2) - 0.5 * dim * _jnp.log(
-                    2 * _jnp.pi
-                )
-
-            def loglik(z):
-                return -function(z) - prior_logpdf(z)
-
+            dim = int(initial_value.shape[-1])
+            loglik = loglik_from_loss(loss_fn)
             result = run_smc(
-                loglik, dim, _jax.random.PRNGKey(seed), num_particles=1024
+                loglik,
+                dim,
+                _jax.random.PRNGKey(seed),
+                num_particles=1024,
+                loglik_args=loss_args,
             )
             self.pre_transformation = result.particles.mean(axis=0)
             self.pre_transformation_std = result.particles.std(axis=0)
@@ -412,7 +422,10 @@ class BaseEstimator:
                     "Computing Laplace approximation for posterior uncertainty."
                 )
                 self.pre_transformation_std = compute_laplace_std(
-                    function, self.pre_transformation, jit=self.jit
+                    loss_fn,
+                    self.pre_transformation,
+                    jit=self.jit,
+                    loss_args=loss_args,
                 )
 
     def _prepare_attribute(self, attribute):

@@ -163,6 +163,13 @@ class DensityEstimator(BaseEstimator):
         return compute_transform(self.mu, self.L)
 
     def _compute_loss_func(self):
+        from ..inference.losses import density_loss
+
+        # operand-threaded static form used by the compiled optimizers and
+        # samplers (no large constants baked into executables)
+        self._loss_fn = density_loss
+        self._loss_args = (self.L, self.nn_distances, self.d, self.mu)
+        # closure form kept for API parity (prepare_inference returns it)
         k = self.initial_value.shape[0]
         return compute_loss_func(self.nn_distances, self.d, self.transform, k)
 

@@ -155,6 +155,10 @@ class DimensionalityEstimator(BaseEstimator):
         return self.distances[:, 0]
 
     def _compute_loss_func(self):
+        from ..inference.losses import dimensionality_loss
+
+        self._loss_fn = dimensionality_loss
+        self._loss_args = (self.L, self.distances, self.mu_dim, self.mu_dens)
         k = self.initial_value.shape[0]
         return compute_dimensionality_loss_func(self.distances, self.transform, k)
 

@@ -189,6 +189,10 @@ class TimeSensitiveDensityEstimator(BaseEstimator):
         return compute_transform(self.mu, self.L)
 
     def _compute_loss_func(self):
+        from ..inference.losses import density_loss
+
+        self._loss_fn = density_loss
+        self._loss_args = (self.L, self.nn_distances, self.d, self.mu)
         k = self.initial_value.shape[0]
         return compute_loss_func(self.nn_distances, self.d, self.transform, k)
 
