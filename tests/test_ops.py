@@ -244,3 +244,15 @@ def test_mle():
     vals = mle(nn, 2)
     assert vals.shape == (3,)
     assert bool(vals[0] > vals[2])
+
+
+def test_pallas_matern52_matches_xla():
+    """Fused Pallas kernel tile (interpret mode on CPU) equals the XLA
+    composition."""
+    from mellon_tpu.ops.pallas_kernels import matern52_gram_pallas
+
+    x = jax.random.normal(jax.random.PRNGKey(20), (100, 5)).astype(jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(21), (37, 5)).astype(jnp.float32)
+    K_pallas = matern52_gram_pallas(x, y, 1.3, interpret=True)
+    K_ref = Matern52(ls=1.3)(x, y)
+    assert float(jnp.abs(K_pallas - K_ref.astype(jnp.float32)).max()) < 1e-5
