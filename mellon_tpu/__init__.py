@@ -26,8 +26,10 @@ from .inference.predictors import Predictor
 from .ops import kernels as cov
 from . import parameters
 from . import inference
+from . import models as model
 from .inference import conditionals as conditional
 from .inference import derivatives
+from .utils.util import set_verbosity
 
 logger = logging.getLogger("mellon_tpu")
 if not logger.handlers:
@@ -51,9 +53,12 @@ __all__ = [
     "set_jax_config",
     "util",
     "cov",
+    "model",
     "parameters",
     "inference",
     "conditional",
     "derivatives",
     "validation",
+    "logger",
+    "set_verbosity",
 ]

@@ -235,6 +235,39 @@ class BaseEstimator:
         return cov_func
 
     def _compute_Lp(self):
+        import jax.numpy as jnp
+
+        # f32/TPU fast path for the sparse case: when the landmark kernel is
+        # numerically singular in f32, prune to the pivoted-Cholesky-selected
+        # subset (dropping linearly redundant landmarks) instead of paying a
+        # host-f64 factorization — fully on device, and every downstream
+        # O(n·m)/O(m³) op shrinks with the reduced m.
+        if (
+            self.landmarks is not None
+            and self.gp_type
+            in (GaussianProcessType.SPARSE_CHOLESKY, GaussianProcessType.FIXED)
+        ):
+            from ..ops.linalg import _jittered_cholesky, select_stable_landmarks, safe_cholesky
+
+            K = self.cov_func(self.landmarks, self.landmarks)
+            if K.dtype != jnp.float64:
+                L, ok = _jittered_cholesky(
+                    K, jnp.asarray(self.jitter, dtype=K.dtype)
+                )
+                if bool(ok):
+                    return L
+                piv = select_stable_landmarks(K, rel_tol=1e-6)
+                logger.warning(
+                    "Landmark kernel is singular at f32; pruning %d "
+                    "redundant landmarks (keeping %d).",
+                    self.landmarks.shape[0] - len(piv),
+                    len(piv),
+                )
+                self.landmarks = self.landmarks[piv]
+                self.n_landmarks = int(len(piv))
+                K_sub = K[piv][:, piv]
+                return safe_cholesky(K_sub, jitter=self.jitter, max_tries=3)
+
         return compute_Lp(
             self.x,
             self.cov_func,

@@ -130,6 +130,30 @@ class DimensionalityEstimator(BaseEstimator):
             "\n)"
         )
 
+    def _repr_html_(self):
+        from ..utils.util import object_html
+
+        header = f"""
+        <h2>Dimensionality Estimator: {self.__class__.__name__}</h2>
+        <p><em>A non-parametric method for estimating local dimensionality
+        and density using Gaussian Processes.</em></p>
+        """
+        core = f"""
+        <ul>
+            <li><strong>Covariance Function:</strong> {object_html(self.cov_func or 'Not Set')}</li>
+            <li><strong>Optimizer:</strong> {self.optimizer}</li>
+            <li><strong>Number of Landmarks:</strong> {self.n_landmarks or 'Not Set'}</li>
+            <li><strong>Gaussian Process Type:</strong> {self.gp_type or 'Not Set'}</li>
+            <li><strong>k (nearest neighbors):</strong> {self.k}</li>
+        </ul>
+        """
+        status = (
+            "<p style='color:green;'><strong>Predictors:</strong> Available</p>"
+            if self.local_dim_func and self.log_density_func
+            else "<p style='color:red;'><strong>Predictors:</strong> Not Yet Computed</p>"
+        )
+        return header + core + status
+
     def _compute_mu_dens(self):
         return compute_mu(self.nn_distances, self.d)
 

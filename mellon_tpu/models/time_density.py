@@ -154,6 +154,30 @@ class TimeSensitiveDensityEstimator(BaseEstimator):
             "\n)"
         )
 
+    def _repr_html_(self):
+        from ..utils.util import object_html
+
+        header = f"""
+        <h2>Time-Sensitive Density Estimator: {self.__class__.__name__}</h2>
+        <p><em>A non-parametric density estimation model with time
+        sensitivity using Gaussian Processes.</em></p>
+        """
+        core = f"""
+        <ul>
+            <li><strong>Covariance Function:</strong> {object_html(self.cov_func or 'Not Set')}</li>
+            <li><strong>Optimizer:</strong> {self.optimizer}</li>
+            <li><strong>Number of Landmarks:</strong> {self.n_landmarks or 'Not Set'}</li>
+            <li><strong>Gaussian Process Type:</strong> {self.gp_type or 'Not Set'}</li>
+            <li><strong>Time Normalization:</strong> {object_html(self.normalize_per_time_point or 'Disabled')}</li>
+        </ul>
+        """
+        status = (
+            "<p style='color:green;'><strong>Predictor:</strong> Available</p>"
+            if self.log_density_func
+            else "<p style='color:red;'><strong>Predictor:</strong> Not Yet Computed</p>"
+        )
+        return header + core + status
+
     def _compute_d(self):
         x = self.x[:, :-1]
         if self.d_method == "fractal":

@@ -8,6 +8,7 @@ escalates the jitter geometrically instead of failing outright in f32.
 """
 
 import logging
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -187,6 +188,73 @@ def _modified_low_rank(
     S, V = _eigendecomposition(T / s @ T.T, rank=rank)
     L = Q @ V * jnp.sqrt(S)
     return L
+
+
+@partial(jax.jit, static_argnames=("max_rank",))
+def _pivoted_cholesky(K, rel_tol, max_rank):
+    """Greedy diagonally-pivoted partial Cholesky of a PSD matrix.
+
+    Returns (pivots (max_rank,), r, L (m, max_rank)): after r steps the
+    selected pivot rows/columns capture the matrix to relative tolerance
+    ``rel_tol`` on the residual diagonal.  One compiled while_loop; each step
+    is an O(m · max_rank) VPU matvec.
+    """
+    m = K.shape[0]
+    diag0 = jnp.diagonal(K)
+    thresh = rel_tol * jnp.max(diag0)
+
+    def cond(state):
+        k, d, L, piv = state
+        return (k < max_rank) & (jnp.max(d) > thresh)
+
+    def body(state):
+        k, d, L, piv = state
+        p = jnp.argmax(d)
+        dp = d[p]
+        # residual column p: K[:, p] - L[:, :k] @ L[p, :k]  (zeros beyond k)
+        col = K[:, p] - L @ L[p, :]
+        l_col = col / jnp.sqrt(dp)
+        d = jnp.maximum(d - jnp.square(l_col), 0.0)
+        d = d.at[p].set(0.0)
+        L = L.at[:, k].set(l_col)
+        piv = piv.at[k].set(p)
+        return k + 1, d, L, piv
+
+    k0 = 0
+    L0 = jnp.zeros((m, max_rank), dtype=K.dtype)
+    piv0 = jnp.zeros((max_rank,), dtype=jnp.int32)
+    r, _, L, piv = jax.lax.while_loop(cond, body, (k0, diag0, L0, piv0))
+    return piv, r, L
+
+
+def select_stable_landmarks(K, rel_tol=1e-6, max_rank=None):
+    """Greedy landmark subset whose kernel submatrix is f32-factorizable.
+
+    For wide kernels over thousands of landmarks, K_uu is numerically
+    rank-deficient in f32; the diagonally-pivoted partial Cholesky picks the
+    maximally informative subset (the dropped landmarks are linearly
+    redundant at the given tolerance), so the sparse-GP model can simply use
+    fewer, better-conditioned inducing points — entirely on device.  This is
+    the "modified incomplete Cholesky" rank reduction of the north star
+    (BASELINE.json).
+
+    Returns the pivot indices as a host array.
+    """
+    m = K.shape[0]
+    if max_rank is None:
+        max_rank = m
+    piv, r, _ = _pivoted_cholesky(K, rel_tol, int(max_rank))
+    r = int(r)
+    logger.info(
+        "Pivoted Cholesky selected %d of %d landmarks "
+        "(relative tolerance %.0e).",
+        r,
+        m,
+        rel_tol,
+    )
+    import numpy as np
+
+    return np.asarray(piv[:r])
 
 
 def solve_psd_from_cholesky(L, b):
