@@ -1,0 +1,95 @@
+"""North-star benchmark: NUTS effective samples / second / chip on the
+density model at 100k cells × 5k landmarks (BASELINE.json primary metric).
+
+The MCMC run is one compiled program with operand-threaded model arrays;
+timing is reported for the full run (warmup+sampling) and for sampling only,
+with ESS from the post-hoc autocorrelation estimate.
+
+Usage: python scripts/nuts_bench.py [n] [m] [num_warmup] [num_samples]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main(n=100_000, m=5_000, num_warmup=100, num_samples=100, num_chains=4):
+    from mellon_tpu.inference.losses import density_loss
+    from mellon_tpu.inference.mcmc import run_mcmc
+    from mellon_tpu.inference.diagnostics import effective_sample_size
+
+    log(f"devices: {jax.devices()}  n={n:,} m={m:,}")
+    key = jax.random.PRNGKey(0)
+    L = jax.random.normal(key, (n, m), dtype=jnp.float32) / jnp.sqrt(m)
+    nn = 0.05 + 0.3 * jax.random.uniform(
+        jax.random.fold_in(key, 1), (n,), dtype=jnp.float32
+    )
+    d, mu = 20.0, -10.0
+    z0 = jnp.zeros(m, dtype=jnp.float32)
+
+    t0 = time.time()
+    result = run_mcmc(
+        density_loss,
+        z0,
+        jax.random.PRNGKey(1),
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        num_chains=num_chains,
+        max_tree_depth=8,
+        potential_args=(L, nn, d, mu),
+    )
+    result.samples.block_until_ready()
+    t_total_cold = time.time() - t0
+    log(f"cold run (compile + warmup + sampling): {t_total_cold:.1f}s")
+
+    t0 = time.time()
+    result = run_mcmc(
+        density_loss,
+        z0,
+        jax.random.PRNGKey(2),
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        num_chains=num_chains,
+        max_tree_depth=8,
+        potential_args=(L, nn, d, mu),
+    )
+    result.samples.block_until_ready()
+    t_total = time.time() - t0
+
+    total_draws = num_chains * num_samples
+    total_leapfrogs = int(np.asarray(result.num_leapfrog).sum())
+    # ESS on a subset of dimensions (full m x autocorr is slow on host)
+    sub = np.random.RandomState(0).choice(m, size=min(m, 64), replace=False)
+    ess = effective_sample_size(np.asarray(result.samples)[:, :, sub])
+    accept = float(np.asarray(result.accept_prob).mean())
+    div = int(np.asarray(result.diverging).sum())
+
+    log(
+        f"warm run: {t_total:.2f}s for {total_draws} draws "
+        f"({total_leapfrogs:,} leapfrogs, accept {accept:.2f}, {div} divergences)"
+    )
+    log(
+        f"draws/s: {total_draws / t_total:.2f}   "
+        f"leapfrogs/s: {total_leapfrogs / t_total:,.0f}   "
+        f"min/median ESS/s: {ess.min() / t_total:.2f} / "
+        f"{np.median(ess) / t_total:.2f}"
+    )
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

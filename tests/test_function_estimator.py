@@ -142,3 +142,51 @@ def test_shape_mismatch_raises(data):
     est = FunctionEstimator(sigma=0.1)
     with pytest.raises(ValueError):
         est.fit(x, y[:10])
+
+
+def test_per_observation_per_feature_sigma(data):
+    """(n, p) sigma: each observation/feature pair has its own noise level
+    (parity contract: reference ``tests/test_perobservation_sigma.py``)."""
+    x, y = data
+    Y = jnp.stack([y, y**2], axis=1)
+    key = jax.random.PRNGKey(5)
+    sigma_np = 0.05 + 0.3 * jax.random.uniform(key, Y.shape)
+    est = FunctionEstimator(sigma=sigma_np)
+    got = est.fit_predict(x, Y)
+    assert got.shape == Y.shape
+    assert np.all(np.isfinite(np.asarray(got)))
+    # down-weighting noisy observations: prediction tracks y where noise small
+    resid = np.abs(np.asarray(got - Y))
+    assert resid.mean() < 0.5
+
+
+def test_sigma_shape_disambiguation(data):
+    """(p,) vs (n,) ambiguity resolves to per-feature with a warning
+    (parity: ``mellon/conditional.py:29-35``)."""
+    from mellon_tpu.inference.conditionals import _is_per_feature_sigma
+
+    # (p,) with y (n, p)
+    assert _is_per_feature_sigma(jnp.ones(3), jnp.ones((10, 3)))
+    # (1, p)
+    assert _is_per_feature_sigma(jnp.ones((1, 3)), jnp.ones((10, 3)))
+    # (n, p)
+    assert _is_per_feature_sigma(jnp.ones((10, 3)), jnp.ones((10, 3)))
+    # scalar is not per-feature
+    assert not _is_per_feature_sigma(0.5, jnp.ones((10, 3)))
+    # 1-d y is never per-feature
+    assert not _is_per_feature_sigma(jnp.ones(10), jnp.ones(10))
+
+
+def test_full_gp_per_feature_sigma(data):
+    """Per-feature sigma on the FULL (no landmarks) conditional."""
+    x, y = data
+    Y = jnp.stack([y, -y], axis=1)
+    est = FunctionEstimator(sigma=jnp.asarray([0.05, 0.2]), gp_type="full")
+    got = est.fit_predict(x, Y)
+    assert got.shape == Y.shape
+    for j, s in enumerate([0.05, 0.2]):
+        single = FunctionEstimator(sigma=s, gp_type="full")
+        got_j = single.fit_predict(x, Y[:, j])
+        np.testing.assert_allclose(
+            np.asarray(got[:, j]), np.asarray(got_j), atol=1e-4
+        )
