@@ -265,6 +265,9 @@ class BaseEstimator:
                 )
                 self.landmarks = self.landmarks[piv]
                 self.n_landmarks = int(len(piv))
+                if self.check_rank is None:
+                    # rank is known by construction; skip the SVD check
+                    self.check_rank = False
                 K_sub = K[piv][:, piv]
                 return safe_cholesky(K_sub, jitter=self.jitter, max_tries=3)
 

@@ -227,7 +227,10 @@ def _pivoted_cholesky(K, rel_tol, max_rank):
     return piv, r, L
 
 
-def select_stable_landmarks(K, rel_tol=1e-6, max_rank=None):
+RANK_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def select_stable_landmarks(K, rel_tol=1e-6, max_rank=None, quantize=True):
     """Greedy landmark subset whose kernel submatrix is f32-factorizable.
 
     For wide kernels over thousands of landmarks, K_uu is numerically
@@ -238,6 +241,11 @@ def select_stable_landmarks(K, rel_tol=1e-6, max_rank=None):
     the "modified incomplete Cholesky" rank reduction of the north star
     (BASELINE.json).
 
+    ``quantize=True`` rounds the selected count DOWN to a power-of-two
+    bucket: the dropped pivots are the least informative, and the stable
+    shape means every downstream executable (TRSM, warm start, optimizer)
+    is reused across fits instead of recompiling per dataset.
+
     Returns the pivot indices as a host array.
     """
     m = K.shape[0]
@@ -245,6 +253,10 @@ def select_stable_landmarks(K, rel_tol=1e-6, max_rank=None):
         max_rank = m
     piv, r, _ = _pivoted_cholesky(K, rel_tol, int(max_rank))
     r = int(r)
+    if quantize:
+        buckets = [b for b in RANK_BUCKETS if b <= r]
+        if buckets:
+            r = buckets[-1]
     logger.info(
         "Pivoted Cholesky selected %d of %d landmarks "
         "(relative tolerance %.0e).",
