@@ -51,8 +51,12 @@ def _run_lbfgs(loss_func, initial_value, max_iter, tol, *loss_args):
         _, state = carry
         count = otu.tree_get(state, "count")
         grad = otu.tree_get(state, "grad")
+        value = otu.tree_get(state, "value")
         err = otu.tree_norm(grad)
-        return (count == 0) | ((count < max_iter) & (err >= tol))
+        # loss-scale-relative gradient tolerance: large-n losses are O(n), so
+        # an absolute grad-norm threshold would never trigger in f32
+        threshold = tol * jnp.maximum(1.0, jnp.abs(value))
+        return (count == 0) | ((count < max_iter) & (err >= threshold))
 
     init_state = opt.init(initial_value)
     final_params, final_state = jax.lax.while_loop(
