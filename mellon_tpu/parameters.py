@@ -147,6 +147,12 @@ def compute_gp_type(n_landmarks, rank, n_samples):
     return GaussianProcessType.SPARSE_NYSTROEM
 
 
+# above this cell count, k-means runs on a uniform subsample (the reference
+# only *advises* this at n>1e6, ``mellon/base_model.py:227-233``; here it is
+# automatic so atlas-scale fits stay tractable)
+KMEANS_SUBSAMPLE_THRESHOLD = 200_000
+
+
 def compute_landmarks(
     x, gp_type=None, n_landmarks=DEFAULT_N_LANDMARKS, random_state=DEFAULT_RANDOM_SEED
 ):
@@ -168,11 +174,23 @@ def compute_landmarks(
             )
             return x
         return None
+    x_fit = x
+    if n > max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * n_landmarks):
+        n_sub = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * n_landmarks)
+        key = jax.random.PRNGKey(
+            random_state if random_state is not None else DEFAULT_RANDOM_SEED
+        )
+        idx = jax.random.choice(key, n, shape=(n_sub,), replace=False)
+        x_fit = x[idx]
+        logger.info(
+            f"Running k-means on a uniform subsample of {n_sub:,} of "
+            f"{n:,} cells (quantization quality is insensitive to this)."
+        )
     logger.info(
         f"Computing {n_landmarks:,} landmarks with k-means clustering "
         f"(random_state={random_state})."
     )
-    return k_means(x, n_landmarks, random_state=random_state)
+    return k_means(x_fit, n_landmarks, random_state=random_state)
 
 
 def compute_landmarks_rescale_time(
