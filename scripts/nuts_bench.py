@@ -27,7 +27,7 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def main(n=100_000, m=5_000, num_warmup=100, num_samples=100, num_chains=4):
+def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2):
     from mellon_tpu.inference.losses import density_loss
     from mellon_tpu.inference.mcmc import run_mcmc
     from mellon_tpu.inference.diagnostics import effective_sample_size
