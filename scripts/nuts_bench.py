@@ -39,7 +39,19 @@ def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2):
         jax.random.fold_in(key, 1), (n,), dtype=jnp.float32
     )
     d, mu = 20.0, -10.0
-    z0 = jnp.zeros(m, dtype=jnp.float32)
+
+    # start at the MAP (the realistic entry point: sample_density_posterior
+    # seeds chains from the fitted pre_transformation); far-from-typical-set
+    # starts would drive the step-size adaptation into max-depth trees
+    from mellon_tpu.inference.optimizers import minimize_lbfgsb
+
+    t0 = time.time()
+    res_map = minimize_lbfgsb(
+        density_loss, jnp.zeros(m, dtype=jnp.float32),
+        loss_args=(L, nn, d, mu),
+    )
+    z0 = res_map.pre_transformation
+    log(f"MAP warm start: {time.time()-t0:.1f}s (loss {res_map.loss:.4g})")
 
     t0 = time.time()
     result = run_mcmc(
@@ -49,10 +61,11 @@ def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2):
         num_warmup=num_warmup,
         num_samples=num_samples,
         num_chains=num_chains,
-        max_tree_depth=8,
+        max_tree_depth=7,
+        initial_step_size=0.05,
         potential_args=(L, nn, d, mu),
     )
-    result.samples.block_until_ready()
+    jax.device_get(result.step_size)  # true sync (relay block can be weak)
     t_total_cold = time.time() - t0
     log(f"cold run (compile + warmup + sampling): {t_total_cold:.1f}s")
 
@@ -64,10 +77,11 @@ def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2):
         num_warmup=num_warmup,
         num_samples=num_samples,
         num_chains=num_chains,
-        max_tree_depth=8,
+        max_tree_depth=7,
+        initial_step_size=0.05,
         potential_args=(L, nn, d, mu),
     )
-    result.samples.block_until_ready()
+    jax.device_get(result.step_size)
     t_total = time.time() - t0
 
     total_draws = num_chains * num_samples
