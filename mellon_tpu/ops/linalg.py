@@ -274,12 +274,14 @@ def solve_psd_from_cholesky(L, b):
     return solve_triangular(L.T, solve_triangular(L, b, lower=True))
 
 
+@jax.jit
 def ridge_solve(L, target, alpha=1.0):
     """Minimize ||L z - target||² + alpha ||z||² on device.
 
     Replaces sklearn's host-side Ridge warm start
     (``mellon/parameters.py:877-896``).  Solved via the normal equations with
-    a Cholesky of (LᵀL + alpha I) — an m x m MXU matmul + factorization.
+    a Cholesky of (LᵀL + alpha I) — an m x m MXU matmul + factorization,
+    fused into one program.
     """
     m = L.shape[1]
     G = L.T @ L + alpha * jnp.eye(m, dtype=L.dtype)

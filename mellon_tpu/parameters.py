@@ -474,12 +474,17 @@ def compute_L(
         )
 
 
+@jax.jit
+def _initial_value_kernel(nn_distances, d, mu, L):
+    target = mle(nn_distances, d) - mu
+    return ridge_solve(L, target, 1.0)
+
+
 def compute_initial_value(nn_distances, d, mu, L):
     """Ridge warm start z minimizing ||Lz + mu - mle|| + ||z||, on device
     (parity: ``mellon/parameters.py:877-896``; sklearn Ridge replaced by
-    :func:`mellon_tpu.ops.linalg.ridge_solve`)."""
-    target = mle(nn_distances, d) - mu
-    return ridge_solve(L, target, alpha=1.0)
+    :func:`mellon_tpu.ops.linalg.ridge_solve`; one fused program)."""
+    return _initial_value_kernel(nn_distances, d, mu, L)
 
 
 def compute_initial_zeros(x, L):
