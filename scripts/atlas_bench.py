@@ -1,0 +1,68 @@
+"""Atlas-scale density fit: 1M cells × 50 dims (BASELINE.json config 5's
+single-chip slice).
+
+Exercises the scale path end-to-end on one chip: streaming exact kNN
+(column-blocked), subsampled k-means landmarks, pivoted-Cholesky landmark
+pruning, the n×r sparse factorization, and the compiled L-BFGS MAP.
+
+Usage: python scripts/atlas_bench.py [n] [d] [m]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main(n=1_000_000, d=50, m=5_000):
+    from bench import make_data
+    import mellon_tpu
+
+    log(f"devices: {jax.devices()}  n={n:,} d={d} m={m:,}")
+    key = jax.random.PRNGKey(0)
+    x = make_data(key, n, d)
+    x.block_until_ready()
+    log("data ready")
+
+    est = mellon_tpu.DensityEstimator(n_landmarks=m)
+    t0 = time.time()
+    est.prepare_inference(x)
+    jax.device_get(est.initial_value[:1])
+    t_prep = time.time() - t0
+    log(
+        f"prepare_inference: {t_prep:.1f}s "
+        f"(effective landmarks {est.n_landmarks:,}, L {tuple(est.L.shape)})"
+    )
+
+    t0 = time.time()
+    est.run_inference()
+    jax.device_get(est.pre_transformation[:1])
+    t_opt = time.time() - t0
+    log(f"run_inference (L-BFGS): {t_opt:.1f}s loss={est.losses[-1]:.6g}")
+
+    t0 = time.time()
+    ld = est.process_inference(build_predict=False)
+    jax.device_get(ld[:1])
+    t_post = time.time() - t0
+    log(f"process_inference: {t_post:.1f}s")
+    log(
+        f"TOTAL fit: {t_prep + t_opt + t_post:.1f}s for {n:,} cells "
+        f"(finite: {bool(jnp.all(jnp.isfinite(ld)))})"
+    )
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)
