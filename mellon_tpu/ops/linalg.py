@@ -157,6 +157,16 @@ def _full_decomposition_low_rank(
     return v * jnp.sqrt(s)
 
 
+@partial(jax.jit, static_argnames=("cov_func",))
+def _standard_low_rank_fused(cov_func, x, xu, Lp):
+    """Fused kernel-evaluation + TRSM: one program so XLA fuses the
+    distance/kernel elementwise chain instead of materializing each (n, m)
+    intermediate eagerly — essential at atlas scale (1M x 512 tiles are
+    2 GB each)."""
+    C = cov_func(x, xu)
+    return solve_triangular(Lp, C.T, lower=True).T
+
+
 def _standard_low_rank(
     x, cov_func, xu, Lp=None, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER
 ):
@@ -166,11 +176,9 @@ def _standard_low_rank(
     The (n, m) solve maps to MXU-tiled TRSM in XLA; rows of L shard
     naturally over a cells axis.
     """
-    C = cov_func(x, xu)
     if Lp is None:
         Lp = _full_rank(xu, cov_func, sigma=sigma, jitter=jitter)
-    L = solve_triangular(Lp, C.T, lower=True).T
-    return L
+    return _standard_low_rank_fused(cov_func, x, xu, Lp)
 
 
 def _modified_low_rank(
