@@ -39,6 +39,18 @@ from .derivatives import gradient, hessian, hessian_log_determinant
 
 logger = logging.getLogger("mellon_tpu")
 
+# queries larger than this evaluate in row chunks so the (n_query, m) kernel
+# tile stays memory-bounded at atlas scale
+PREDICT_CHUNK_SIZE = 200_000
+
+
+def _chunked_rows(fn, x, chunk_size=PREDICT_CHUNK_SIZE):
+    n = x.shape[0]
+    if n <= chunk_size:
+        return fn(x)
+    parts = [fn(x[start : start + chunk_size]) for start in range(0, n, chunk_size)]
+    return jnp.concatenate(parts, axis=0)
+
 
 def _check_n_features(obj, x):
     if x.shape[1] != obj.n_input_features:
@@ -147,8 +159,8 @@ class Predictor(ABC):
                 logger.error(message)
                 raise ValueError(message)
             _normalization_warnings(self)
-            return self._mean(x) - jnp.log(self.n_obs)
-        return self._mean(x)
+            return _chunked_rows(self._mean, x) - jnp.log(self.n_obs)
+        return _chunked_rows(self._mean, x)
 
     __call__ = mean
 
