@@ -140,21 +140,125 @@ def knn(x, k, query=None, batch_size=DEFAULT_BATCH_SIZE):
     return _knn_blocked(query, x, k, int(min(batch_size, query.shape[0])))
 
 
-def knn_distances(x, k, batch_size=DEFAULT_BATCH_SIZE):
+def knn_distances(x, k, batch_size=DEFAULT_BATCH_SIZE, method="auto"):
     """Distances to the k nearest *other* points for every point of x.
 
-    Exact-device replacement for ``mellon/parameters.py:352-404``
-    (pynndescent): computes k+1 neighbors (self included) and drops the
-    self column.
+    Device replacement for ``mellon/parameters.py:352-404`` (pynndescent):
+    exact blocked search by default, switching to cluster-pruned IVF above
+    :data:`IVF_THRESHOLD` points (``method='exact'``/``'ivf'`` force either).
     """
+    x = jnp.atleast_2d(x)
+    if method == "ivf" or (method == "auto" and x.shape[0] > IVF_THRESHOLD):
+        logger.info(
+            "Using cluster-pruned (IVF) kNN for %s points.", f"{x.shape[0]:,}"
+        )
+        dists, _ = knn_ivf(x, k)
+        return dists
     dists, _ = knn(x, k + 1, batch_size=batch_size)
     return dists[:, 1:]
 
 
-def nn_distances(x, batch_size=DEFAULT_BATCH_SIZE):
+def nn_distances(x, batch_size=DEFAULT_BATCH_SIZE, method="auto"):
     """Distance to the single nearest neighbor of each point
     (replacement for ``mellon/parameters.py:407-433``)."""
-    return knn_distances(x, 1, batch_size=batch_size)[:, 0]
+    return knn_distances(x, 1, batch_size=batch_size, method=method)[:, 0]
+
+
+# above this database size, nn_distances switches from the exact O(n²)
+# sweep to cluster-pruned (IVF) search
+IVF_THRESHOLD = 300_000
+
+
+def knn_ivf(
+    x,
+    k,
+    n_clusters=None,
+    n_probe=8,
+    batch_size=512,
+    seed=0,
+):
+    """Cluster-pruned approximate k-nearest neighbors (IVF).
+
+    Points are quantized into ``n_clusters`` k-means cells; each query only
+    searches the ``n_probe`` nearest cells.  Cuts the exact search's O(n²)
+    to ~O(n²·p/c) — the standard accuracy/speed trade the reference also
+    makes (pynndescent is approximate, ``mellon/parameters.py:397-404``).
+    Distances of the surviving candidates are exact (coordinate
+    differences), and the self-neighbor convention matches :func:`knn`.
+    """
+    import numpy as np
+
+    x = jnp.atleast_2d(x)
+    n, dim = x.shape
+    if n_clusters is None:
+        n_clusters = max(int(np.sqrt(n)), 16)
+    n_probe = min(n_probe, n_clusters)
+
+    from .cluster import _assign, k_means
+
+    # coarse quantizer from a subsample
+    sub = min(n, 100_000)
+    key = jax.random.PRNGKey(seed)
+    idx_sub = jax.random.choice(key, n, shape=(sub,), replace=False)
+    centroids = k_means(x[idx_sub], n_clusters, n_iter=10, random_state=seed)
+
+    assign = _assign(x, centroids, 4096)                     # (n,)
+    order = jnp.argsort(assign)
+    assign_sorted = assign[order]
+    counts = jnp.bincount(assign, length=n_clusters)
+    cap = int(jnp.max(counts))
+    offsets = jnp.concatenate([jnp.zeros(1, dtype=counts.dtype), jnp.cumsum(counts)[:-1]])
+    rank_within = jnp.arange(n) - offsets[assign_sorted]
+    # (n_clusters, cap) table of point ids, sentinel n for padding
+    ids = jnp.full((n_clusters * cap,), n, dtype=jnp.int32)
+    ids = ids.at[assign_sorted * cap + rank_within].set(order.astype(jnp.int32))
+    ids = ids.reshape(n_clusters, cap)
+    # sentinel row at index n -> +inf distance
+    x_padded = jnp.concatenate([x, jnp.full((1, dim), jnp.inf, dtype=x.dtype)])
+
+    n_blocks = -(-n // batch_size)
+    pad = n_blocks * batch_size - n
+    query_padded = jnp.concatenate(
+        [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], axis=0
+    ).reshape(n_blocks, batch_size, dim)
+
+    @partial(jax.jit, static_argnames=("k", "n_probe"))
+    def block_search(qb, centroids, ids, x_padded, k, n_probe):
+        dc = distance(qb, centroids)                          # (B, c)
+        _, probe = jax.lax.top_k(-dc, n_probe)                # (B, p)
+
+        def probe_step(carry, j):
+            run_neg, run_idx = carry
+            cand = ids[probe[:, j]]                           # (B, cap)
+            pts = x_padded[cand]                              # (B, cap, dim)
+            exact = jnp.sqrt(
+                jnp.sum(jnp.square(qb[:, None, :] - pts), axis=-1)
+            )
+            exact = jnp.where(jnp.isfinite(exact), exact, jnp.inf)
+            kk = min(k + 1, exact.shape[1])
+            neg_vals, local = jax.lax.top_k(-exact, kk)
+            local_ids = jnp.take_along_axis(cand, local, axis=1)
+            merged_neg = jnp.concatenate([run_neg, neg_vals], axis=1)
+            merged_idx = jnp.concatenate([run_idx, local_ids], axis=1)
+            new_neg, pos = jax.lax.top_k(merged_neg, k + 1)
+            new_idx = jnp.take_along_axis(merged_idx, pos, axis=1)
+            return (new_neg, new_idx), None
+
+        init = (
+            jnp.full((qb.shape[0], k + 1), -jnp.inf, dtype=x_padded.dtype),
+            jnp.full((qb.shape[0], k + 1), ids.shape[0] * ids.shape[1], dtype=jnp.int32),
+        )
+        (neg, idx), _ = jax.lax.scan(probe_step, init, jnp.arange(n_probe))
+        return -neg, idx
+
+    dists, idx = jax.lax.map(
+        lambda qb: block_search(qb, centroids, ids, x_padded, int(k), int(n_probe)),
+        query_padded,
+    )
+    dists = dists.reshape(n_blocks * batch_size, k + 1)[:n]
+    idx = idx.reshape(n_blocks * batch_size, k + 1)[:n]
+    # drop the self column (distance ~0, first after sort)
+    return dists[:, 1:], idx[:, 1:]
 
 
 def local_dimensionality(x, k=30, x_query=None, neighbor_idx=None):

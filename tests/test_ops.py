@@ -256,3 +256,16 @@ def test_pallas_matern52_matches_xla():
     K_pallas = matern52_gram_pallas(x, y, 1.3, interpret=True)
     K_ref = Matern52(ls=1.3)(x, y)
     assert float(jnp.abs(K_pallas - K_ref.astype(jnp.float32)).max()) < 1e-5
+
+
+def test_ivf_knn_recall():
+    """Cluster-pruned kNN matches the exact search at high recall."""
+    from mellon_tpu.ops.neighbors import knn_ivf
+
+    x = jax.random.normal(jax.random.PRNGKey(22), (3000, 4))
+    exact = np.asarray(knn_distances(x, 3))
+    ivf_d, _ = knn_ivf(x, 3, n_clusters=48, n_probe=8)
+    recall = np.mean(np.isclose(np.asarray(ivf_d), exact, atol=1e-9))
+    assert recall > 0.97
+    # the 1-NN column (the density model's input) is essentially exact
+    assert np.mean(np.isclose(np.asarray(ivf_d)[:, 0], exact[:, 0], atol=1e-9)) > 0.999
