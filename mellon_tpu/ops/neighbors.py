@@ -246,7 +246,10 @@ def knn_ivf(
 
         init = (
             jnp.full((qb.shape[0], k + 1), -jnp.inf, dtype=x_padded.dtype),
-            jnp.full((qb.shape[0], k + 1), ids.shape[0] * ids.shape[1], dtype=jnp.int32),
+            # sentinel index = the padded inf row, safe for downstream gathers
+            jnp.full(
+                (qb.shape[0], k + 1), x_padded.shape[0] - 1, dtype=jnp.int32
+            ),
         )
         (neg, idx), _ = jax.lax.scan(probe_step, init, jnp.arange(n_probe))
         return -neg, idx
