@@ -206,12 +206,30 @@ def knn_ivf(
     order = jnp.argsort(assign)
     assign_sorted = assign[order]
     counts = jnp.bincount(assign, length=n_clusters)
-    cap = int(jnp.max(counts))
+    # cap the per-cluster candidate list: unbalanced quantizers (dense
+    # blobs) would otherwise blow the padded table and gather sizes; points
+    # beyond the cap are truncated from the table (in dense cells the
+    # nearest neighbors are abundant, so recall impact is negligible)
+    avg = max(n // n_clusters, 1)
+    cap = int(min(int(jnp.max(counts)), 8 * avg))
+    n_truncated = int(jnp.sum(jnp.maximum(counts - cap, 0)))
+    if n_truncated > 0:
+        logger.info(
+            "IVF table truncates %s points in oversized clusters "
+            "(cap %d per cluster).",
+            f"{n_truncated:,}",
+            cap,
+        )
     offsets = jnp.concatenate([jnp.zeros(1, dtype=counts.dtype), jnp.cumsum(counts)[:-1]])
     rank_within = jnp.arange(n) - offsets[assign_sorted]
+    keep = rank_within < cap
     # (n_clusters, cap) table of point ids, sentinel n for padding
     ids = jnp.full((n_clusters * cap,), n, dtype=jnp.int32)
-    ids = ids.at[assign_sorted * cap + rank_within].set(order.astype(jnp.int32))
+    flat_pos = jnp.where(keep, assign_sorted * cap + rank_within, n_clusters * cap)
+    ids = jnp.concatenate([ids, jnp.full((1,), n, dtype=jnp.int32)])
+    ids = ids.at[flat_pos].set(
+        jnp.where(keep, order.astype(jnp.int32), n)
+    )[:-1]
     ids = ids.reshape(n_clusters, cap)
     # sentinel row at index n -> +inf distance
     x_padded = jnp.concatenate([x, jnp.full((1, dim), jnp.inf, dtype=x.dtype)])
@@ -223,40 +241,45 @@ def knn_ivf(
     ).reshape(n_blocks, batch_size, dim)
 
     @partial(jax.jit, static_argnames=("k", "n_probe"))
-    def block_search(qb, centroids, ids, x_padded, k, n_probe):
-        dc = distance(qb, centroids)                          # (B, c)
-        _, probe = jax.lax.top_k(-dc, n_probe)                # (B, p)
+    def _ivf_search(query_blocks, centroids, ids, x_padded, k, n_probe):
+        """All blocks in one program: the table/centroids/points are runtime
+        operands (never baked constants)."""
 
-        def probe_step(carry, j):
-            run_neg, run_idx = carry
-            cand = ids[probe[:, j]]                           # (B, cap)
-            pts = x_padded[cand]                              # (B, cap, dim)
-            exact = jnp.sqrt(
-                jnp.sum(jnp.square(qb[:, None, :] - pts), axis=-1)
+        def block_search(qb):
+            dc = distance(qb, centroids)                      # (B, c)
+            _, probe = jax.lax.top_k(-dc, n_probe)            # (B, p)
+
+            def probe_step(carry, j):
+                run_neg, run_idx = carry
+                cand = ids[probe[:, j]]                       # (B, cap)
+                pts = x_padded[cand]                          # (B, cap, dim)
+                exact = jnp.sqrt(
+                    jnp.sum(jnp.square(qb[:, None, :] - pts), axis=-1)
+                )
+                exact = jnp.where(jnp.isfinite(exact), exact, jnp.inf)
+                kk = min(k + 1, exact.shape[1])
+                neg_vals, local = jax.lax.top_k(-exact, kk)
+                local_ids = jnp.take_along_axis(cand, local, axis=1)
+                merged_neg = jnp.concatenate([run_neg, neg_vals], axis=1)
+                merged_idx = jnp.concatenate([run_idx, local_ids], axis=1)
+                new_neg, pos = jax.lax.top_k(merged_neg, k + 1)
+                new_idx = jnp.take_along_axis(merged_idx, pos, axis=1)
+                return (new_neg, new_idx), None
+
+            init = (
+                jnp.full((qb.shape[0], k + 1), -jnp.inf, dtype=x_padded.dtype),
+                # sentinel = the padded inf row, safe for downstream gathers
+                jnp.full(
+                    (qb.shape[0], k + 1), x_padded.shape[0] - 1, dtype=jnp.int32
+                ),
             )
-            exact = jnp.where(jnp.isfinite(exact), exact, jnp.inf)
-            kk = min(k + 1, exact.shape[1])
-            neg_vals, local = jax.lax.top_k(-exact, kk)
-            local_ids = jnp.take_along_axis(cand, local, axis=1)
-            merged_neg = jnp.concatenate([run_neg, neg_vals], axis=1)
-            merged_idx = jnp.concatenate([run_idx, local_ids], axis=1)
-            new_neg, pos = jax.lax.top_k(merged_neg, k + 1)
-            new_idx = jnp.take_along_axis(merged_idx, pos, axis=1)
-            return (new_neg, new_idx), None
+            (neg, idx), _ = jax.lax.scan(probe_step, init, jnp.arange(n_probe))
+            return -neg, idx
 
-        init = (
-            jnp.full((qb.shape[0], k + 1), -jnp.inf, dtype=x_padded.dtype),
-            # sentinel index = the padded inf row, safe for downstream gathers
-            jnp.full(
-                (qb.shape[0], k + 1), x_padded.shape[0] - 1, dtype=jnp.int32
-            ),
-        )
-        (neg, idx), _ = jax.lax.scan(probe_step, init, jnp.arange(n_probe))
-        return -neg, idx
+        return jax.lax.map(block_search, query_blocks)
 
-    dists, idx = jax.lax.map(
-        lambda qb: block_search(qb, centroids, ids, x_padded, int(k), int(n_probe)),
-        query_padded,
+    dists, idx = _ivf_search(
+        query_padded, centroids, ids, x_padded, int(k), int(n_probe)
     )
     dists = dists.reshape(n_blocks * batch_size, k + 1)[:n]
     idx = idx.reshape(n_blocks * batch_size, k + 1)[:n]
