@@ -165,8 +165,10 @@ def nn_distances(x, batch_size=DEFAULT_BATCH_SIZE, method="auto"):
 
 
 # above this database size, nn_distances switches from the exact O(n²)
-# sweep to cluster-pruned (IVF) search
-IVF_THRESHOLD = 300_000
+# sweep to cluster-pruned (IVF) search.  The exact sweep is proven to
+# ~1M points on one chip (PERFORMANCE.md); IVF (44x faster at 100%
+# 1-NN recall in CPU tests) can be forced earlier with method='ivf'.
+IVF_THRESHOLD = 2_000_000
 
 
 def knn_ivf(
