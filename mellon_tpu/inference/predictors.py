@@ -373,8 +373,14 @@ class Predictor(ABC):
         module_name = data_dict["metadata"]["module_name"]
         module_version = data_dict["metadata"]["module_version"]
 
+        # the <1.4.0 migration applies only to files written by the
+        # reference package ("mellon.*"); our own version numbering is
+        # independent of it
+        is_reference = module_name.split(".")[0] == "mellon"
         try:
-            old = _version.parse(module_version) < _version.parse("1.4.0")
+            old = is_reference and _version.parse(module_version) < _version.parse(
+                "1.4.0"
+            )
         except Exception:
             old = False
         if old:

@@ -100,3 +100,18 @@ def test_serialized_json_structure(fitted):
     assert weights["type"] == "jax.numpy"
     assert isinstance(weights["data"], list)
     assert "classname" in state["metadata"]
+
+
+def test_own_version_does_not_trip_migration(fitted, caplog):
+    """Our 0.x version numbers must not trigger the reference's <1.4.0
+    migration path (caught by a verification probe)."""
+    import logging
+
+    x, est = fitted
+    json_str = est.predict.to_json()
+    with caplog.at_level(logging.WARNING, logger="mellon_tpu"):
+        restored = Predictor.from_json_str(json_str)
+    assert not any("1.4.0" in r.message for r in caplog.records)
+    np.testing.assert_allclose(
+        np.asarray(restored(x[:5])), np.asarray(est.predict(x[:5])), atol=1e-12
+    )
