@@ -35,6 +35,57 @@ PACKAGE_NAME = __name__.split(".")[0]
 COV_TYPE_TAG = "mellon.Covariance"
 
 
+# ---------------------------------------------------------------------------
+# jitted elementwise cores: one stable program per kernel family, with the
+# length scale as a runtime operand (eager op-by-op dispatch would cost one
+# program load per op on remote-compiled backends)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _matern32_vals(x, y, ls):
+    from ..utils.util import distance
+
+    r = jnp.sqrt(3.0) * distance(x, y) / ls
+    return (r + 1) * jnp.exp(-r)
+
+
+@jax.jit
+def _matern52_vals(x, y, ls):
+    from ..utils.util import distance
+
+    r = jnp.sqrt(5.0) * distance(x, y) / ls
+    return (r + jnp.square(r) / 3 + 1) * jnp.exp(-r)
+
+
+@jax.jit
+def _expquad_vals(x, y, ls):
+    from ..utils.util import distance
+
+    r = distance(x, y) / ls
+    return jnp.exp(-jnp.square(r) / 2)
+
+
+@jax.jit
+def _exponential_vals(x, y, ls):
+    from ..utils.util import distance
+
+    r = distance(x, y) / ls
+    return jnp.exp(-r / 2)
+
+
+@jax.jit
+def _ratquad_vals(x, y, ls, alpha):
+    from ..utils.util import distance
+
+    r = distance(x, y) / ls
+    return (jnp.square(r) / (2 * alpha) + 1) ** -alpha
+
+
+@jax.jit
+def _linear_vals(x, y, ls):
+    return jnp.einsum("ij,kj->ik", x, y) / ls
+
+
 class Covariance(ABC):
     """Base covariance function (parity: ``mellon/base_cov.py:17-224``)."""
 
@@ -337,8 +388,7 @@ class Matern32(Covariance):
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
-        r = jnp.sqrt(3.0) * distance(x, y) / self.ls
-        return (r + 1) * jnp.exp(-r)
+        return _matern32_vals(x, y, self.ls)
 
     def k_grad(self, x):
         x_shape = x.shape
@@ -373,8 +423,7 @@ class Matern52(Covariance):
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
-        r = jnp.sqrt(5.0) * distance(x, y) / self.ls
-        return (r + jnp.square(r) / 3 + 1) * jnp.exp(-r)
+        return _matern52_vals(x, y, self.ls)
 
     def k_grad(self, x):
         x_shape = x.shape
@@ -408,8 +457,7 @@ class ExpQuad(Covariance):
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
-        r = distance(x, y) / self.ls
-        return jnp.exp(-jnp.square(r) / 2)
+        return _expquad_vals(x, y, self.ls)
 
     def k_grad(self, x):
         x_shape = x.shape
@@ -441,8 +489,7 @@ class Exponential(Covariance):
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
-        r = distance(x, y) / self.ls
-        return jnp.exp(-r / 2)
+        return _exponential_vals(x, y, self.ls)
 
     def k_grad(self, x):
         x_shape = x.shape
@@ -476,8 +523,7 @@ class RatQuad(Covariance):
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
-        r = distance(x, y) / self.ls
-        return (jnp.square(r) / (2 * self.alpha) + 1) ** -self.alpha
+        return _ratquad_vals(x, y, self.ls, self.alpha)
 
     def k_grad(self, x):
         x_shape = x.shape
@@ -511,7 +557,7 @@ class Linear(Covariance):
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
-        return jnp.einsum("ij,kj->ik", x, y) / self.ls
+        return _linear_vals(x, y, self.ls)
 
     def k_grad(self, x):
         x_shape = x.shape

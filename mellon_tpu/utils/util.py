@@ -29,8 +29,10 @@ DEFAULT_RANK_TOL = 5e-1
 # distances
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def distance(x, y):
-    """Pairwise Euclidean distances via one MXU matmul.
+    """Pairwise Euclidean distances via one MXU matmul, fused into one
+    program.
 
     Parity: ``mellon/util.py:351-366`` (including the 1e-12 epsilon inside the
     sqrt for gradient stability at zero distance).
