@@ -233,6 +233,7 @@ def sample_density_posterior(
     num_chains=4,
     algorithm="nuts",
     seed=0,
+    precision=None,
     **kwargs,
 ):
     """Draw posterior samples of the latent GP function of a fitted (or
@@ -252,6 +253,18 @@ def sample_density_posterior(
     if potential_fn is None:
         potential_fn = estimator.loss_func
         potential_args = ()
+    if precision == "bf16":
+        # store the matrix operands in bfloat16: halves the HBM traffic of
+        # each leapfrog (~1.9x measured) while the matvec still accumulates
+        # in f32; perturbs the target by ~1e-3 relative (PERFORMANCE.md)
+        potential_args = tuple(
+            a.astype(jnp.bfloat16)
+            if getattr(a, "ndim", 0) == 2 and a.dtype == jnp.float32
+            else a
+            for a in potential_args
+        )
+    elif precision is not None:
+        raise ValueError(f"Unknown precision option: {precision}")
     z0 = estimator.initial_value
     if getattr(estimator, "pre_transformation", None) is not None:
         z0 = estimator.pre_transformation

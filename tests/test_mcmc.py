@@ -237,3 +237,26 @@ def test_streaming_knn_matches_exact():
     finally:
         nb.DEFAULT_COL_BLOCK = old
     np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_bf16_precision_sampling():
+    """precision='bf16' samples a posterior indistinguishable (to MC error)
+    from the f32 posterior."""
+    from mellon_tpu import DensityEstimator
+
+    x = jax.random.normal(jax.random.PRNGKey(21), (60, 2)).astype(jnp.float32)
+    est = DensityEstimator(n_landmarks=20)
+    est.prepare_inference(x)
+    est.run_inference()
+    res32, f32s = sample_density_posterior(
+        est, num_warmup=200, num_samples=200, num_chains=2, seed=5
+    )
+    res16, f16s = sample_density_posterior(
+        est, num_warmup=200, num_samples=200, num_chains=2, seed=5,
+        precision="bf16",
+    )
+    m32 = np.asarray(f32s.mean(axis=0))
+    m16 = np.asarray(f16s.mean(axis=0))
+    assert np.corrcoef(m32, m16)[0, 1] > 0.99
+    with pytest.raises(ValueError, match="precision"):
+        sample_density_posterior(est, precision="fp8")
