@@ -106,7 +106,7 @@ def test_kernel_algebra(data):
 def test_kernel_algebra_grads(data):
     x, y = data
     c1, c2 = Matern52(ls=1.0), ExpQuad(ls=2.0)
-    for comp in [c1 + c2, c1 * c2, c1**2.0, c1 * 0.5]:
+    for comp in [c1 + c2, c1 * c2, c1**2.0, c1 * 0.5, c1 + 1.5]:
         grad = comp.k_grad(x)(y)
         auto = Covariance.k_grad(comp, x)(y)
         np.testing.assert_allclose(np.asarray(grad), np.asarray(auto), atol=1e-5)
