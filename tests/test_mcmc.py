@@ -260,3 +260,27 @@ def test_bf16_precision_sampling():
     assert np.corrcoef(m32, m16)[0, 1] > 0.99
     with pytest.raises(ValueError, match="precision"):
         sample_density_posterior(est, precision="fp8")
+
+
+def test_nuts_non_gaussian_target():
+    """Log-gamma target: exact non-Gaussian moments (mean=digamma(3),
+    var=trigamma(3)) — catches detailed-balance errors a Gaussian can't."""
+    from scipy.special import polygamma, digamma
+
+    def pot(z):
+        return -(3.0 * z[0] - jnp.exp(z[0]))  # z = log g, g ~ Gamma(3, 1)
+
+    res = run_mcmc(
+        pot,
+        jnp.zeros(1),
+        jax.random.PRNGKey(30),
+        num_warmup=500,
+        num_samples=2000,
+        num_chains=4,
+    )
+    s = summarize(res.samples)
+    assert np.all(s["rhat"] < 1.02)
+    np.testing.assert_allclose(s["mean"][0], digamma(3.0), atol=0.05)
+    np.testing.assert_allclose(
+        s["std"][0], np.sqrt(polygamma(1, 3.0)), rtol=0.08
+    )
