@@ -223,6 +223,8 @@ class Predictor(ABC):
         x = validate_array(x, "x")
         x = ensure_2d(x)
         _check_n_features(self, x)
+        if diag:
+            return _chunked_rows(lambda b: self._covariance(b, diag=True), x)
         return self._covariance(x, diag=diag)
 
     @abstractmethod
@@ -235,6 +237,10 @@ class Predictor(ABC):
         x = validate_array(x, "x")
         x = ensure_2d(x)
         _check_n_features(self, x)
+        if diag:
+            return _chunked_rows(
+                lambda b: self._mean_covariance(b, diag=True), x
+            )
         return self._mean_covariance(x, diag=diag)
 
     def uncertainty(self, x, diag=True):
