@@ -107,3 +107,41 @@ def test_density_loss_pipeline():
     z0 = jnp.zeros(30)
     res = minimize_lbfgsb(loss, z0)
     assert float(loss(res.pre_transformation)) < float(loss(z0))
+
+
+def test_lbfgs_matches_scipy_on_density_loss():
+    """Our on-device L-BFGS reaches the same optimum as scipy's L-BFGS-B
+    (the reference's optimizer, ``mellon/inference.py:272-288``)."""
+    from scipy.optimize import minimize as scipy_minimize
+
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (80, 2))
+    from mellon_tpu.ops import Matern52, _standard_low_rank, _full_rank
+    from mellon_tpu.ops.neighbors import nn_distances
+    from mellon_tpu.parameters import compute_ls, compute_mu, compute_initial_value
+
+    nn = nn_distances(x)
+    ls = compute_ls(nn)
+    mu = compute_mu(nn, 2)
+    cov = Matern52(ls=ls)
+    xu = x[:20]
+    Lp = _full_rank(xu, cov)
+    L = _standard_low_rank(x, cov, xu, Lp=Lp)
+    z0 = compute_initial_value(nn, 2, mu, L)
+    transform = compute_transform(mu, L)
+    loss = compute_loss_func(nn, 2, transform, 20)
+
+    ours = minimize_lbfgsb(loss, z0)
+
+    val_grad = jax.value_and_grad(loss)
+    scipy_res = scipy_minimize(
+        lambda z: [np.asarray(v, dtype=np.float64) for v in val_grad(jnp.asarray(z))],
+        np.asarray(z0),
+        jac=True,
+        method="L-BFGS-B",
+    )
+    # same optimum within optimizer termination tolerance
+    assert ours.loss <= scipy_res.fun + 1e-3
+    np.testing.assert_allclose(
+        np.asarray(ours.pre_transformation), scipy_res.x, atol=5e-2
+    )
