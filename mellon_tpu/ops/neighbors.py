@@ -95,15 +95,15 @@ def _knn_blocked(query, x, k, batch_size):
             cand_idx = candidates_streamed(qb)
         else:
             cand_idx = candidates_small(qb)
-        # exact recompute from coordinate differences (no cancellation)
+        # exact recompute from coordinate differences (no cancellation);
+        # top_k instead of argsort keeps the lowering small
         nb = x[cand_idx]                                    # (B, n_cand, dim)
         exact = jnp.sqrt(
             jnp.sum(jnp.square(qb[:, None, :] - nb), axis=-1)
         )
-        order = jnp.argsort(exact, axis=1)[:, :k]
-        dists = jnp.take_along_axis(exact, order, axis=1)
+        neg_vals, order = jax.lax.top_k(-exact, k)
         idx = jnp.take_along_axis(cand_idx, order, axis=1)
-        return dists, idx
+        return -neg_vals, idx
 
     dists, idx = jax.lax.map(block_topk, blocks)
     dists = dists.reshape(n_blocks * batch_size, k)[:nq]
