@@ -86,11 +86,115 @@ def _linear_vals(x, y, ls):
     return jnp.einsum("ij,kj->ik", x, y) / ls
 
 
+# ---------------------------------------------------------------------------
+# operand specs: a hashable static description of a kernel's *structure*
+# plus a flat tuple of its numeric parameters.  Fused programs jit the
+# static spec and thread the parameters as runtime operands, so one
+# executable serves every fit regardless of length-scale values (a baked
+# float would force a fresh trace/compile/load per fit).
+# ---------------------------------------------------------------------------
+
+def _hashable_active_dims(active_dims):
+    """Encode active_dims (None/int/slice/sequence/bool mask) hashably."""
+    if active_dims is None or isinstance(active_dims, int):
+        return active_dims
+    if isinstance(active_dims, slice):
+        return ("__slice__", active_dims.start, active_dims.stop, active_dims.step)
+    import numpy as np
+
+    arr = np.asarray(active_dims)
+    if arr.dtype == bool:
+        return ("__mask__", tuple(bool(b) for b in arr.tolist()))
+    return ("__seq__", tuple(int(i) for i in arr.tolist()))
+
+
+def _restore_active_dims(encoded):
+    if isinstance(encoded, tuple) and encoded:
+        import numpy as np
+
+        if encoded[0] == "__slice__":
+            return slice(encoded[1], encoded[2], encoded[3])
+        if encoded[0] == "__mask__":
+            return np.asarray(encoded[1], dtype=bool)
+        if encoded[0] == "__seq__":
+            return np.asarray(encoded[1], dtype=int)
+    return encoded
+
+
+_SPEC_CORES = {
+    "matern32": _matern32_vals,
+    "matern52": _matern52_vals,
+    "expquad": _expquad_vals,
+    "exponential": _exponential_vals,
+    "ratquad": _ratquad_vals,
+    "linear": _linear_vals,
+}
+
+_SPEC_OPS = {
+    "add": lambda a, b: a + b,
+    "mul": lambda a, b: a * b,
+    "pow": lambda a, b: a**b,
+}
+
+
+def eval_operand_spec(spec, params, x, y):
+    """Evaluate a kernel structure ``spec`` with parameter operands
+    ``params`` at (x, y).  Equals ``cov_func(x, y)`` for the kernel that
+    produced the spec via :meth:`Covariance.operand_spec`."""
+    params = tuple(jnp.asarray(p).astype(x.dtype) for p in params)
+    val, used = _eval_spec(spec, params, 0, x, y)
+    if used != len(params):
+        raise ValueError("operand spec consumed wrong number of parameters")
+    return val
+
+
+def _eval_spec(spec, params, i, x, y):
+    tag = spec[0]
+    active_dims = _restore_active_dims(spec[1])
+    x = select_active_dims(x, active_dims)
+    y = select_active_dims(y, active_dims)
+    if tag in _SPEC_OPS:
+        left, i = _eval_branch(spec[2], params, i, x, y)
+        right, i = _eval_branch(spec[3], params, i, x, y)
+        return _SPEC_OPS[tag](left, right), i
+    n = spec[2]
+    core = _SPEC_CORES[tag]
+    return core(x, y, *params[i : i + n]), i + n
+
+
+def _eval_branch(spec, params, i, x, y):
+    if spec == "__const__":
+        return params[i], i + 1
+    return _eval_spec(spec, params, i, x, y)
+
+
 class Covariance(ABC):
     """Base covariance function (parity: ``mellon/base_cov.py:17-224``)."""
 
+    # operand-spec metadata: core registry tag + ordered parameter attrs.
+    # User-defined kernels leave these unset and fused callers fall back to
+    # the static-closure path.
+    _spec_tag = None
+    _spec_params = ()
+
     def __init__(self, active_dims=None):
         self.active_dims = active_dims
+
+    def operand_spec(self):
+        """(static, params): a hashable structure describing this kernel and
+        the flat tuple of its numeric parameters as runtime operands (see
+        :func:`eval_operand_spec`)."""
+        if self._spec_tag is None:
+            raise NotImplementedError(
+                f"{self.__class__.__name__} does not define an operand spec."
+            )
+        static = (
+            self._spec_tag,
+            _hashable_active_dims(self.active_dims),
+            len(self._spec_params),
+        )
+        params = tuple(jnp.asarray(getattr(self, p)) for p in self._spec_params)
+        return static, params
 
     def __str__(self):
         return self.__repr__()
@@ -235,6 +339,24 @@ class CovariancePair(Covariance):
     def k(self, x, y):
         ...
 
+    def operand_spec(self):
+        left_static, left_params = self.left.operand_spec()
+        if callable(self.right):
+            right_static, right_params = self.right.operand_spec()
+        else:
+            right_static, right_params = "__const__", (jnp.asarray(self.right),)
+        static = (
+            self._spec_tag,
+            _hashable_active_dims(self.active_dims),
+            left_static,
+            right_static,
+        )
+        if self._spec_tag is None:
+            raise NotImplementedError(
+                f"{self.__class__.__name__} does not define an operand spec."
+            )
+        return static, left_params + right_params
+
     def __getstate__(self):
         module_name = self.__class__.__module__.split(".")[0]
         try:
@@ -279,6 +401,8 @@ class CovariancePair(Covariance):
 class Add(CovariancePair):
     """Sum kernel (parity: ``mellon/base_cov.py:301-364``)."""
 
+    _spec_tag = "add"
+
     def __repr__(self):
         return "(" + repr(self.left) + " + " + repr(self.right) + ")"
 
@@ -311,6 +435,8 @@ class Add(CovariancePair):
 class Mul(CovariancePair):
     """Product kernel with product-rule gradient
     (parity: ``mellon/base_cov.py:367-438``)."""
+
+    _spec_tag = "mul"
 
     def __repr__(self):
         return "(" + repr(self.left) + " * " + repr(self.right) + ")"
@@ -350,6 +476,8 @@ class Pow(CovariancePair):
     """Power kernel with chain-rule gradient
     (parity: ``mellon/base_cov.py:441-497``)."""
 
+    _spec_tag = "pow"
+
     def __repr__(self):
         return "(" + repr(self.left) + " ** " + repr(self.right) + ")"
 
@@ -379,6 +507,9 @@ class Pow(CovariancePair):
 class Matern32(Covariance):
     R"""Matern-3/2: :math:`(1 + \sqrt{3} r / l) e^{-\sqrt{3} r / l}`
     (parity: ``mellon/cov.py:6-100``)."""
+
+    _spec_tag = "matern32"
+    _spec_params = ('ls',)
 
     def __init__(self, ls=1.0, active_dims=None):
         super().__init__()
@@ -415,6 +546,9 @@ class Matern52(Covariance):
     :math:`(1 + \sqrt{5} r / l + 5 r^2 / (3 l^2)) e^{-\sqrt{5} r / l}`
     (parity: ``mellon/cov.py:103-202``)."""
 
+    _spec_tag = "matern52"
+    _spec_params = ('ls',)
+
     def __init__(self, ls=1.0, active_dims=None):
         super().__init__()
         self.ls = ls
@@ -449,6 +583,9 @@ class ExpQuad(Covariance):
     R"""Squared-exponential: :math:`e^{-r^2 / (2 l^2)}`
     (parity: ``mellon/cov.py:205-299``)."""
 
+    _spec_tag = "expquad"
+    _spec_params = ('ls',)
+
     def __init__(self, ls=1.0, active_dims=None):
         super().__init__()
         self.ls = ls
@@ -480,6 +617,9 @@ class ExpQuad(Covariance):
 
 class Exponential(Covariance):
     R"""Exponential: :math:`e^{-r / (2 l)}` (parity: ``mellon/cov.py:302-396``)."""
+
+    _spec_tag = "exponential"
+    _spec_params = ('ls',)
 
     def __init__(self, ls=1.0, active_dims=None):
         super().__init__()
@@ -513,6 +653,9 @@ class Exponential(Covariance):
 class RatQuad(Covariance):
     R"""Rational quadratic: :math:`(1 + r^2/(2\alpha l^2))^{-\alpha}`
     (parity: ``mellon/cov.py:399-499``)."""
+
+    _spec_tag = "ratquad"
+    _spec_params = ('ls', 'alpha')
 
     def __init__(self, alpha=1.0, ls=1.0, active_dims=None):
         super().__init__()
@@ -548,6 +691,9 @@ class RatQuad(Covariance):
 
 class Linear(Covariance):
     R"""Linear: :math:`x \cdot y / l` (parity: ``mellon/cov.py:502-592``)."""
+
+    _spec_tag = "linear"
+    _spec_params = ('ls',)
 
     def __init__(self, ls=1.0, active_dims=None):
         super().__init__()

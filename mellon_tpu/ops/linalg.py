@@ -162,8 +162,24 @@ def _standard_low_rank_fused(cov_func, x, xu, Lp):
     """Fused kernel-evaluation + TRSM: one program so XLA fuses the
     distance/kernel elementwise chain instead of materializing each (n, m)
     intermediate eagerly — essential at atlas scale (1M x 512 tiles are
-    2 GB each)."""
+    2 GB each).
+
+    Fallback path for user-defined kernels without an operand spec: the
+    kernel object is a static argument, so a new kernel instance means a
+    new program."""
     C = cov_func(x, xu)
+    return solve_triangular(Lp, C.T, lower=True).T
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _standard_low_rank_fused_spec(spec, params, x, xu, Lp):
+    """Spec-keyed variant of :func:`_standard_low_rank_fused`: the kernel
+    *structure* is the static key and its length scales are runtime
+    operands, so one executable serves every fit of the same shape — no
+    per-fit retrace/reload when the auto-selected ls changes."""
+    from .kernels import eval_operand_spec
+
+    C = eval_operand_spec(spec, params, x, xu)
     return solve_triangular(Lp, C.T, lower=True).T
 
 
@@ -178,7 +194,11 @@ def _standard_low_rank(
     """
     if Lp is None:
         Lp = _full_rank(xu, cov_func, sigma=sigma, jitter=jitter)
-    return _standard_low_rank_fused(cov_func, x, xu, Lp)
+    try:
+        spec, params = cov_func.operand_spec()
+    except (NotImplementedError, AttributeError):
+        return _standard_low_rank_fused(cov_func, x, xu, Lp)
+    return _standard_low_rank_fused_spec(spec, params, x, xu, Lp)
 
 
 def _modified_low_rank(

@@ -10,6 +10,7 @@ from collections.abc import Iterable
 import logging
 import math
 
+import jax
 import jax.numpy as jnp
 
 logger = logging.getLogger("mellon_tpu")
@@ -217,25 +218,28 @@ def validate_1d(x):
 def _nn_repair_kernel(nn_distances):
     """Single fused computation of invalid-value masks, counts and repaired
     distances (one jit call instead of ~8 eager dispatches)."""
-    import jax
+    return _nn_repair_jit(nn_distances)
 
-    @jax.jit
-    def kernel(nn):
-        nan_mask = jnp.isnan(nn)
-        inf_mask = jnp.isinf(nn)
-        non_positive_mask = nn <= 0
-        bad_idx = nan_mask | inf_mask | non_positive_mask
-        min_positive = jnp.min(jnp.where(bad_idx, jnp.inf, nn))
-        repaired = jnp.where(~bad_idx, nn, min_positive)
-        return (
-            repaired,
-            nan_mask.sum(),
-            inf_mask.sum(),
-            non_positive_mask.sum(),
-            jnp.all(bad_idx),
-        )
 
-    return kernel(nn_distances)
+def _nn_repair_impl(nn):
+    nan_mask = jnp.isnan(nn)
+    inf_mask = jnp.isinf(nn)
+    non_positive_mask = nn <= 0
+    bad_idx = nan_mask | inf_mask | non_positive_mask
+    min_positive = jnp.min(jnp.where(bad_idx, jnp.inf, nn))
+    repaired = jnp.where(~bad_idx, nn, min_positive)
+    return (
+        repaired,
+        nan_mask.sum(),
+        inf_mask.sum(),
+        non_positive_mask.sum(),
+        jnp.all(bad_idx),
+    )
+
+
+# module-level jit: one stable program instead of a fresh closure (and thus
+# a retrace + program load) per fit
+_nn_repair_jit = jax.jit(_nn_repair_impl)
 
 
 def validate_nn_distances(nn_distances, optional=False):

@@ -269,3 +269,52 @@ def test_ivf_knn_recall():
     assert recall > 0.97
     # the 1-NN column (the density model's input) is essentially exact
     assert np.mean(np.isclose(np.asarray(ivf_d)[:, 0], exact[:, 0], atol=1e-9)) > 0.999
+
+
+def test_operand_spec_matches_direct_evaluation(data):
+    from mellon_tpu.ops.kernels import eval_operand_spec
+
+    x, y = data
+    kernels = [
+        Matern32(1.3),
+        Matern52(0.8),
+        ExpQuad(2.0),
+        Exponential(1.1),
+        RatQuad(ls=1.5, alpha=2.5),
+        Linear(3.0),
+        Matern52(1.2, active_dims=slice(None, -1)) * Matern32(0.5, active_dims=-1),
+        Matern52(1.2) + 0.7,
+        (ExpQuad(1.0) + Linear(2.0)) ** 2.0,
+        Matern52(1.0, active_dims=[0, 2, 4]) * 1.5,
+    ]
+    for cov in kernels:
+        spec, params = cov.operand_spec()
+        hash(spec)  # static part must be a valid jit key
+        direct = cov(x, y)
+        via_spec = eval_operand_spec(spec, params, x, y)
+        np.testing.assert_allclose(
+            np.asarray(direct), np.asarray(via_spec), atol=1e-12
+        )
+
+
+def test_factorization_program_reused_across_length_scales():
+    """Two fits whose auto-selected ls differs must share one compiled
+    factorization program: the ls is an operand, not a baked constant
+    (a per-fit retrace/compile/load was the dominant warm-fit cost)."""
+    from mellon_tpu.ops.linalg import (
+        _standard_low_rank,
+        _standard_low_rank_fused_spec,
+    )
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (40, 3))
+    xu = x[:10]
+    before = _standard_low_rank_fused_spec._cache_size()
+    L1 = _standard_low_rank(x, Matern52(1.0), xu)
+    mid = _standard_low_rank_fused_spec._cache_size()
+    L2 = _standard_low_rank(x, Matern52(2.5), xu)
+    after = _standard_low_rank_fused_spec._cache_size()
+    assert mid == before + 1
+    assert after == mid  # second ls value hits the same executable
+    assert L1.shape == L2.shape == (40, 10)
+    assert not np.allclose(np.asarray(L1), np.asarray(L2))
