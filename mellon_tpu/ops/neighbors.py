@@ -28,8 +28,8 @@ DEFAULT_BATCH_SIZE = 1024
 DEFAULT_COL_BLOCK = 1 << 20
 
 
-@partial(jax.jit, static_argnames=("k", "batch_size"))
-def _knn_blocked(query, x, k, batch_size):
+@partial(jax.jit, static_argnames=("k", "batch_size", "col_block"))
+def _knn_blocked(query, x, k, batch_size, col_block=DEFAULT_COL_BLOCK):
     """Top-k smallest distances from each query row to all of x.
 
     Returns (distances (nq, k), indices (nq, k)), sorted ascending.
@@ -77,7 +77,6 @@ def _knn_blocked(query, x, k, batch_size):
         # column-blocked streaming for beyond-atlas n: one
         # (batch x col_block) strip at a time with a running candidate
         # merge — memory stays O(batch * col_block)
-        col_block = DEFAULT_COL_BLOCK
         n_col_blocks = -(-n // col_block)
         n_pad_cols = n_col_blocks * col_block - n
         x_padded = jnp.concatenate(
@@ -115,7 +114,7 @@ def _knn_blocked(query, x, k, batch_size):
         return run_idx
 
     def block_topk(carry, qb):
-        if n > DEFAULT_COL_BLOCK:
+        if n > col_block:
             cand_idx = candidates_streamed(qb)
         else:
             cand_idx = candidates_small(qb)
@@ -135,7 +134,7 @@ def _knn_blocked(query, x, k, batch_size):
     return dists, idx
 
 
-def knn(x, k, query=None, batch_size=DEFAULT_BATCH_SIZE):
+def knn(x, k, query=None, batch_size=DEFAULT_BATCH_SIZE, col_block=DEFAULT_COL_BLOCK):
     """Exact k nearest neighbors.
 
     Parameters
@@ -161,7 +160,9 @@ def knn(x, k, query=None, batch_size=DEFAULT_BATCH_SIZE):
         raise ValueError(
             f"k={k} must not exceed the number of database points {x.shape[0]}."
         )
-    return _knn_blocked(query, x, k, int(min(batch_size, query.shape[0])))
+    return _knn_blocked(
+        query, x, k, int(min(batch_size, query.shape[0])), int(col_block)
+    )
 
 
 def knn_distances(x, k, batch_size=DEFAULT_BATCH_SIZE, method="auto"):

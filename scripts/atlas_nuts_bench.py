@@ -1,0 +1,85 @@
+"""BASELINE config 5, single-chip slice: NUTS posterior for a 1M-cell,
+50-dim DensityEstimator with 5k landmarks (pivot-pruned to the kernel's
+effective rank) on one chip.
+
+Runs the real pipeline — prepare_inference on 1M cells, L-BFGS MAP, then
+multi-chain NUTS on the operand-threaded density loss — and reports
+draws/s and leapfrogs/s.  Chains shard across chips linearly (the chains
+mesh axis), so pod-slice numbers are chains x this rate per chip.
+
+Usage: python scripts/atlas_nuts_bench.py [n] [d] [m] [chains] [warmup] [samples]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50):
+    from bench import make_data
+    from mellon_tpu.inference.mcmc import run_mcmc
+    import mellon_tpu
+
+    log(f"devices: {jax.devices()}  n={n:,} d={d} m={m:,} chains={chains}")
+    x = make_data(jax.random.PRNGKey(0), n, d)
+    x.block_until_ready()
+
+    est = mellon_tpu.DensityEstimator(n_landmarks=m)
+    t0 = time.time()
+    est.prepare_inference(x)
+    est.run_inference()
+    jax.device_get(est.pre_transformation[:1])
+    log(
+        f"prepare + MAP: {time.time()-t0:.1f}s "
+        f"(latent dim {est.L.shape[1]}, loss {est.losses[-1]:.6g})"
+    )
+
+    def sample(seed):
+        return run_mcmc(
+            est._loss_fn,
+            est.pre_transformation,
+            jax.random.PRNGKey(seed),
+            num_warmup=warmup,
+            num_samples=samples,
+            num_chains=chains,
+            max_tree_depth=7,
+            initial_step_size=0.05,
+            potential_args=est._loss_args,
+        )
+
+    t0 = time.time()
+    result = sample(1)
+    jax.device_get(result.step_size)
+    log(f"cold NUTS (compile + warmup + sampling): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    result = sample(2)
+    jax.device_get(result.step_size)
+    dt = time.time() - t0
+    draws = chains * samples
+    leapfrogs = int(np.asarray(result.num_leapfrog).sum())
+    accept = float(np.asarray(result.accept_prob).mean())
+    div = int(np.asarray(result.diverging).sum())
+    log(
+        f"warm NUTS: {dt:.1f}s for {draws} draws ({leapfrogs:,} leapfrogs, "
+        f"accept {accept:.2f}, {div} divergences)"
+    )
+    log(f"draws/s: {draws/dt:.2f}   leapfrogs/s: {leapfrogs/dt:,.0f}")
+
+
+if __name__ == "__main__":
+    main(*[int(a) for a in sys.argv[1:]])

@@ -5,7 +5,10 @@ The MCMC run is one compiled program with operand-threaded model arrays;
 timing is reported for the full run (warmup+sampling) and for sampling only,
 with ESS from the post-hoc autocorrelation estimate.
 
-Usage: python scripts/nuts_bench.py [n] [m] [num_warmup] [num_samples]
+Usage: python scripts/nuts_bench.py [n] [m] [num_warmup] [num_samples] [num_chains] [precision]
+
+precision: "f32" (default) or "bf16" — bf16 stores the (n, m) matrix L in
+bfloat16 (f32 accumulation), halving the HBM traffic of the leapfrog loop.
 """
 
 import os
@@ -27,7 +30,8 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
-def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2):
+def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2,
+         precision="f32"):
     from mellon_tpu.inference.losses import density_loss
     from mellon_tpu.inference.mcmc import run_mcmc
     from mellon_tpu.inference.diagnostics import effective_sample_size
@@ -52,6 +56,12 @@ def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2):
     )
     z0 = res_map.pre_transformation
     log(f"MAP warm start: {time.time()-t0:.1f}s (loss {res_map.loss:.4g})")
+
+    if precision == "bf16":
+        # bf16 storage for the leapfrog hot loop (f32 accumulation in the
+        # matvec — see density_loss); halves HBM traffic at the roofline
+        L = L.astype(jnp.bfloat16)
+        log("using bf16 storage for L")
 
     t0 = time.time()
     result = run_mcmc(
@@ -105,5 +115,5 @@ def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
+    args = [a if a in ("f32", "bf16") else int(a) for a in sys.argv[1:]]
     main(*args)

@@ -318,3 +318,17 @@ def test_factorization_program_reused_across_length_scales():
     assert after == mid  # second ls value hits the same executable
     assert L1.shape == L2.shape == (40, 10)
     assert not np.allclose(np.asarray(L1), np.asarray(L2))
+
+
+def test_knn_streamed_column_path_matches_single_strip():
+    """The column-streaming merge (atlas-scale path, n > col_block) must
+    return the same neighbors as the single-strip path, including the
+    non-divisible tail columns."""
+    from mellon_tpu.ops.neighbors import knn
+
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (233, 4))
+    d_full, i_full = knn(x, 5)
+    d_str, i_str = knn(x, 5, col_block=64)  # 233 cols -> 4 strips with tail
+    np.testing.assert_allclose(np.asarray(d_str), np.asarray(d_full), atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(i_str), np.asarray(i_full))
