@@ -47,13 +47,22 @@ def save_sampler_state(path, *, samples=None, state=None, step_size=None,
         arrays["_state_num_leaves"] = np.asarray(len(flat))
 
     if jax.process_index() == 0:
-        np.savez(path, **arrays)
+        base = _base_path(path)
+        np.savez(base + ".npz", **arrays)
         meta = {"format_version": FORMAT_VERSION}
         if metadata:
             meta.update(metadata)
-        with open(str(path) + ".json", "w") as f:
+        with open(base + ".json", "w") as f:
             json.dump(meta, f)
-        logger.info("Wrote sampler checkpoint to %s.", path)
+        logger.info("Wrote sampler checkpoint to %s.npz.", base)
+
+
+def _base_path(path):
+    """Checkpoint base name: '<base>.npz' holds arrays, '<base>.json' the
+    metadata, regardless of whether the caller passes the base or the full
+    .npz name."""
+    base = str(path)
+    return base[: -len(".npz")] if base.endswith(".npz") else base
 
 
 def load_sampler_state(path, state_template=None):
@@ -62,8 +71,7 @@ def load_sampler_state(path, state_template=None):
     Returns a dict with keys among {samples, state, step_size,
     inv_mass_diag, rng_key, metadata}.
     """
-    data = np.load(path if str(path).endswith(".npz") else str(path) + ".npz"
-                   if not os.path.exists(path) else path)
+    data = np.load(_base_path(path) + ".npz")
     out = {}
     for key in ("step_size", "inv_mass_diag", "samples"):
         if key in data:
@@ -78,7 +86,7 @@ def load_sampler_state(path, state_template=None):
             out["state"] = jax.tree.unflatten(treedef, leaves)
         else:
             out["state"] = leaves
-    meta_path = str(path) + ".json"
+    meta_path = _base_path(path) + ".json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             out["metadata"] = json.load(f)

@@ -188,6 +188,13 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded["state"].z), np.arange(4.0))
     assert float(loaded["step_size"]) == pytest.approx(0.3)
     assert loaded["metadata"]["algorithm"] == "nuts"
+    # base name and full .npz name must address the same checkpoint
+    # (including the metadata sidecar)
+    loaded2 = load_sampler_state(str(tmp_path / "ckpt"), state_template=state)
+    assert loaded2["metadata"]["algorithm"] == "nuts"
+    np.testing.assert_allclose(
+        np.asarray(loaded2["inv_mass_diag"]), np.ones(4)
+    )
 
 
 def test_diagnostics_on_iid_samples():
