@@ -66,3 +66,65 @@ def test_density_estimator_golden(data):
     # L-BFGS path: tolerance reflects optimizer termination, not linalg drift
     np.testing.assert_allclose(np.asarray(ld[:8]), LOG_DENSITY, atol=1e-3)
     assert est.mu == pytest.approx(EXPECTED_MU, rel=1e-9)
+
+
+def test_reproduces_reference_hardcoded_full_gp_values():
+    """Cross-framework equivalence: reproduce the REFERENCE's own hard-coded
+    golden arrays (``/root/reference/tests/test_reference_results.py:9-77``,
+    full-GP FunctionEstimator with n_landmarks=0 — fully pinned inputs, no
+    k-means randomness).  mellon_tpu matches the reference's published
+    values to ~1e-8 on CPU/f64; the reference's own tolerance is 1e-5."""
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n, d, p = 50, 2, 3
+    X = jax.random.normal(k1, (n, d))
+    y = jax.random.normal(k2, (n, p))
+    X_test = jax.random.normal(k3, (10, d))
+
+    est = FunctionEstimator(sigma=1.0, n_landmarks=0, obs_variance=True)
+    est.fit(X, y)
+
+    pred = est.predict(X_test)
+    lev = est.predict.leverage(X)
+    obsvar = est.predict.obs_variance(X_test)
+
+    expected_pred = np.array([
+        [0.1591912, -0.01633006, -0.09774735],
+        [0.22242522, 0.18020723, -0.02099988],
+        [0.19622299, 0.13606965, -0.1066963],
+        [0.11826687, -0.1078843, -0.31056051],
+        [0.14248863, -0.03011926, -0.29908757],
+        [0.19947812, 0.11085447, -0.00750686],
+        [0.12869758, -0.0557435, -0.31332486],
+        [0.18549478, -0.04098856, 0.07950502],
+        [0.29005287, 0.17010726, 0.36455042],
+        [0.32726478, 0.31220231, 0.21231073],
+    ])
+    expected_lev = np.array([
+        0.0372332, 0.07869925, 0.12117246, 0.05443739, 0.07560143,
+        0.05055196, 0.05284116, 0.03140333, 0.04589148, 0.12702225,
+        0.02890246, 0.08439047, 0.02921787, 0.07780366, 0.05287561,
+        0.09885388, 0.09658274, 0.0378513, 0.0336515, 0.04042638,
+        0.04148647, 0.04255076, 0.06422805, 0.05231018, 0.04072847,
+        0.05364099, 0.04714973, 0.03281598, 0.12303139, 0.03775613,
+        0.10646143, 0.09640494, 0.02881728, 0.03010999, 0.09627312,
+        0.0325684, 0.06231224, 0.0371162, 0.03548587, 0.13666944,
+        0.05732545, 0.03451524, 0.02859058, 0.07310316, 0.03799797,
+        0.08597798, 0.03010433, 0.09246368, 0.09796963, 0.0286806,
+    ])
+    expected_obsvar = np.array([
+        [0.95486132, 1.10382589, 1.09700611],
+        [0.99352028, 1.09954301, 1.09154833],
+        [1.07884384, 1.06994597, 1.12319011],
+        [1.01419867, 0.87782108, 1.19101712],
+        [1.18976692, 0.91071511, 1.20611143],
+        [0.92173907, 1.14376553, 1.08436175],
+        [1.14035324, 0.91377002, 1.20676145],
+        [0.96502533, 1.00159358, 0.98472199],
+        [0.48300975, 0.88916662, 0.78530785],
+        [0.76511332, 0.98307023, 0.95662155],
+    ])
+
+    np.testing.assert_allclose(np.asarray(pred), expected_pred, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lev), expected_lev, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(obsvar), expected_obsvar, atol=1e-5)
