@@ -1,7 +1,17 @@
 """Vmapped autodiff wrappers: per-point gradient, Hessian, slogdet(Hessian).
 
 Behavioural parity target: ``mellon/derivatives.py``.
+
+Performance note: the vmapped cores are module-level jitted programs with
+the differentiated ``function`` as the static key.  Predictor methods pass
+bound methods, which hash by (instance, function), so repeated calls on the
+same predictor reuse one executable — wrapping a fresh closure in
+``jax.jit`` per call (the obvious formulation) recompiles and reloads the
+program on every invocation, which dominated derivative evaluation through
+the TPU relay.
 """
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -21,56 +31,70 @@ def derivative(function, x, jit=True):
         return get_grad(x)
     x = validate_1d(x)
     if jit:
-        get_grad = jax.jit(get_grad)
+        return _derivative_impl(function, x).T
     return jax.vmap(get_grad, in_axes=(0,))(x).T
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _derivative_impl(function, x):
+    return jax.vmap(lambda xi: jax.jacrev(function)(xi), in_axes=(0,))(x)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _gradient_impl(function, x, *args):
+    def get_grad(xi, *a):
+        return jax.jacrev(function)(xi[None, :], *a)
+
+    in_axes = (0,) * (len(args) + 1)
+    return jax.vmap(get_grad, in_axes=in_axes)(x, *args)
 
 
 def gradient(function, x, *args, jit=True):
     """Per-row gradient of a row-wise scalar function
-    (parity: ``mellon/derivatives.py:48-80``)."""
-
-    def get_grad(x, *args):
-        return jax.jacrev(function)(x[None, :], *args)
-
-    if jit:
-        get_grad = jax.jit(get_grad)
-    in_axes = (0,) * (len(args) + 1)
-    gradients = jax.vmap(get_grad, in_axes=in_axes)(x, *args)
+    (parity: ``mellon/derivatives.py:48-80``).  ``jit`` is accepted for
+    parity; the vmapped core is always compiled (one cached program per
+    (function, shape))."""
+    x = jnp.atleast_2d(x)
+    gradients = _gradient_impl(function, x, *args)
     if len(gradients.shape) <= 4:
         return gradients.reshape(x.shape)
     return gradients.reshape(gradients.shape[::2])
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _hessian_impl(function, x, *args):
+    def get_hess(xi, *a):
+        return jax.jacfwd(jax.jacrev(function))(xi[None, :], *a)
+
+    in_axes = (0,) * (len(args) + 1)
+    return jax.vmap(get_hess, in_axes=in_axes)(x, *args)
+
+
 def hessian(function, x, *args, jit=True):
     """Per-row Hessian (parity: ``mellon/derivatives.py:83-117``)."""
     x = jnp.atleast_2d(x)
-
-    def get_hess(x, *args):
-        return jax.jacfwd(jax.jacrev(function))(x[None, :], *args)
-
-    if jit:
-        get_hess = jax.jit(get_hess)
     out_shape = x.shape + x.shape[1:]
-    in_axes = (0,) * (len(args) + 1)
-    hessians = jax.vmap(get_hess, in_axes=in_axes)(x, *args)
+    hessians = _hessian_impl(function, x, *args)
     if len(hessians.shape) <= 6:
         return hessians.reshape(out_shape)
     return hessians.reshape(hessians.shape[::2])
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _hessian_log_det_impl(function, x, *args):
+    d = x.shape[1]
+
+    def get_log_det(xi, *a):
+        hess = jax.jacfwd(jax.jacrev(function))(xi[None, :], *a).reshape((d, d))
+        sign, log_det = jnp.linalg.slogdet(hess)
+        return sign, log_det
+
+    in_axes = (0,) * (len(args) + 1)
+    return jax.vmap(get_log_det, in_axes=in_axes)(x, *args)
 
 
 def hessian_log_determinant(function, x, *args, jit=True):
     """Per-row sign and log|det| of the Hessian
     (parity: ``mellon/derivatives.py:120-155``)."""
     x = jnp.atleast_2d(x)
-    d = x.shape[1]
-    hess_shape = (d, d)
-
-    def get_log_det(x, *args):
-        hess = jax.jacfwd(jax.jacrev(function))(x[None, :], *args).reshape(hess_shape)
-        sign, log_det = jnp.linalg.slogdet(hess)
-        return sign, log_det
-
-    if jit:
-        get_log_det = jax.jit(get_log_det)
-    in_axes = (0,) * (len(args) + 1)
-    return jax.vmap(get_log_det, in_axes=in_axes)(x, *args)
+    return _hessian_log_det_impl(function, x, *args)

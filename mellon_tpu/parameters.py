@@ -15,6 +15,8 @@ them as contracts.
 
 import logging
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -271,12 +273,14 @@ def compute_nn_distances_within_time_points(x, times=None, d=None, normalize=Fal
             f"for {len(unique_times):,} different time points."
         )
 
-    for time in unique_times:
-        mask = x[:, -1] == time
-        n_samples = jnp.sum(mask)
-        if int(n_samples) < 2:
+    states = x[:, :-1]
+    group = jnp.searchsorted(unique_times, x[:, -1])
+    counts = jnp.bincount(group, length=len(unique_times))
+    for i, count in enumerate(np.asarray(counts)):
+        if count < 2:
+            time = unique_times[i]
             raise ValueError(
-                f"Insufficient data: Only {int(n_samples)} sample(s) found at "
+                f"Insufficient data: Only {int(count)} sample(s) found at "
                 f"time point {time}. Nearest neighbors cannot be computed "
                 "with less than two samples per time point. Please confirm if "
                 "you have provided the correct time axis. If the time points "
@@ -284,17 +288,37 @@ def compute_nn_distances_within_time_points(x, times=None, d=None, normalize=Fal
                 "time points for better results, or you may specify "
                 "`nn_distances` manually."
             )
-        x_at_time = x[mask, :-1]
-        nn_distances_at_time = compute_nn_distances(x_at_time)
-        if normalize is not False and normalize is not None:
-            target_cell_count = _get_target_cell_count(
-                normalize, time, av_cells_per_tp, unique_times
-            )
-            factor = (n_samples / target_cell_count) ** (
-                1 / d if jnp.ndim(d) == 0 else 1 / d[mask]
-            )
-            nn_distances_at_time = factor * nn_distances_at_time
-        nn_distances = nn_distances.at[mask].set(nn_distances_at_time)
+
+    # Single-search formulation (TPU-first redesign of the reference's
+    # per-time-point loop, ``mellon/parameters.py:444-531``): append one
+    # synthetic coordinate ``group_index * C`` with C far above the data
+    # diameter.  Within a group the extra dimension contributes exactly 0
+    # (equal offsets subtract exactly), so within-group distances are
+    # bit-identical to a per-group search; across groups every distance
+    # gains C^2 and is never selected.  One blocked kNN program over all n
+    # cells replaces T ragged-shaped searches (T program loads).
+    span = jnp.linalg.norm(
+        jnp.max(states, axis=0) - jnp.min(states, axis=0)
+    )
+    C = 8.0 * jnp.maximum(span, 1.0)
+    x_aug = jnp.concatenate(
+        [states, (group.astype(states.dtype) * C)[:, None]], axis=1
+    )
+    nn_distances = compute_nn_distances(x_aug)
+
+    if normalize is not False and normalize is not None:
+        targets = jnp.asarray(
+            [
+                _get_target_cell_count(normalize, time, av_cells_per_tp, unique_times)
+                for time in unique_times
+            ],
+            dtype=nn_distances.dtype,
+        )
+        n_samples = counts[group].astype(nn_distances.dtype)
+        factor = (n_samples / targets[group]) ** (
+            1 / d if jnp.ndim(d) == 0 else 1 / d
+        )
+        nn_distances = factor * nn_distances
 
     return nn_distances
 

@@ -178,3 +178,17 @@ def test_string_representations(fitted):
         fitted.predict
     )
     assert fitted._repr_html_()
+
+
+def test_predictor_derivative_program_reused_across_calls(data, fitted):
+    """gradient/hessian on the same predictor must reuse one compiled
+    program across calls (a per-call jit-of-closure formulation recompiled
+    and reloaded on every invocation)."""
+    from mellon_tpu.inference.derivatives import _gradient_impl
+
+    pred = fitted.predict
+    x = jnp.asarray(np.random.RandomState(0).randn(7, data.shape[1]))
+    _ = pred.gradient(x)
+    size_after_first = _gradient_impl._cache_size()
+    _ = pred.gradient(x)
+    assert _gradient_impl._cache_size() == size_after_first

@@ -304,3 +304,25 @@ def test_gaussian_process_type_fuzzy_parsing():
         GaussianProcessType.from_string("bogus_type")
     with pytest.raises(ValueError):
         GaussianProcessType.from_string(None)
+
+
+def test_within_time_single_search_equals_per_group_loop():
+    """The offset-dimension single-search formulation must reproduce a
+    per-group brute-force 1-NN exactly, including ragged group sizes."""
+    from mellon_tpu.parameters import compute_nn_distances_within_time_points
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.normal(key, (120, 3))
+    # ragged groups: 7, 50, 63
+    times = jnp.concatenate(
+        [jnp.zeros(7), jnp.ones(50), jnp.full(63, 5.0)]
+    )
+    got = compute_nn_distances_within_time_points(x, times)
+    for t in (0.0, 1.0, 5.0):
+        mask = np.asarray(times) == t
+        pts = np.asarray(x)[mask]
+        full = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+        np.fill_diagonal(full, np.inf)
+        np.testing.assert_allclose(
+            np.asarray(got)[mask], full.min(axis=1), rtol=1e-6
+        )
