@@ -51,11 +51,16 @@ def _gradient_impl(function, x, *args):
 
 def gradient(function, x, *args, jit=True):
     """Per-row gradient of a row-wise scalar function
-    (parity: ``mellon/derivatives.py:48-80``).  ``jit`` is accepted for
-    parity; the vmapped core is always compiled (one cached program per
-    (function, shape))."""
+    (parity: ``mellon/derivatives.py:48-80``).
+
+    With ``jit=True`` (default) the vmapped core is a cached program keyed
+    on ``function`` — bound methods key per predictor instance, so repeated
+    calls reuse one executable, but each distinct predictor stays pinned in
+    the jit cache for the process lifetime.  Pass ``jit=False`` for
+    throwaway predictors (e.g. bootstrap loops) to avoid that retention."""
     x = jnp.atleast_2d(x)
-    gradients = _gradient_impl(function, x, *args)
+    impl = _gradient_impl if jit else _gradient_impl.__wrapped__
+    gradients = impl(function, x, *args)
     if len(gradients.shape) <= 4:
         return gradients.reshape(x.shape)
     return gradients.reshape(gradients.shape[::2])
@@ -74,7 +79,8 @@ def hessian(function, x, *args, jit=True):
     """Per-row Hessian (parity: ``mellon/derivatives.py:83-117``)."""
     x = jnp.atleast_2d(x)
     out_shape = x.shape + x.shape[1:]
-    hessians = _hessian_impl(function, x, *args)
+    impl = _hessian_impl if jit else _hessian_impl.__wrapped__
+    hessians = impl(function, x, *args)
     if len(hessians.shape) <= 6:
         return hessians.reshape(out_shape)
     return hessians.reshape(hessians.shape[::2])
@@ -97,4 +103,5 @@ def hessian_log_determinant(function, x, *args, jit=True):
     """Per-row sign and log|det| of the Hessian
     (parity: ``mellon/derivatives.py:120-155``)."""
     x = jnp.atleast_2d(x)
-    return _hessian_log_det_impl(function, x, *args)
+    impl = _hessian_log_det_impl if jit else _hessian_log_det_impl.__wrapped__
+    return impl(function, x, *args)

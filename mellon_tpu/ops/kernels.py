@@ -96,13 +96,15 @@ def _linear_vals(x, y, ls):
 
 def _hashable_active_dims(active_dims):
     """Encode active_dims (None/int/slice/sequence/bool mask) hashably."""
-    if active_dims is None or isinstance(active_dims, int):
-        return active_dims
-    if isinstance(active_dims, slice):
-        return ("__slice__", active_dims.start, active_dims.stop, active_dims.step)
     import numpy as np
 
+    if active_dims is None or isinstance(active_dims, (int, np.integer)):
+        return int(active_dims) if active_dims is not None else None
+    if isinstance(active_dims, slice):
+        return ("__slice__", active_dims.start, active_dims.stop, active_dims.step)
     arr = np.asarray(active_dims)
+    if arr.ndim == 0:
+        return int(arr)
     if arr.dtype == bool:
         return ("__mask__", tuple(bool(b) for b in arr.tolist()))
     return ("__seq__", tuple(int(i) for i in arr.tolist()))

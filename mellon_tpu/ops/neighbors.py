@@ -135,7 +135,12 @@ def _knn_blocked(query, x, k, batch_size, col_block=DEFAULT_COL_BLOCK):
 
 
 def knn(x, k, query=None, batch_size=DEFAULT_BATCH_SIZE, col_block=DEFAULT_COL_BLOCK):
-    """Exact k nearest neighbors.
+    """k nearest neighbors by blocked matmul sweep.
+
+    Deterministic; exact on the CPU backend.  On TPU candidate selection
+    uses ``lax.approx_min_k`` (>=99.9% of 1-NN distances within 1e-4
+    relative of coordinate-exact; see module docstring) — the reference's
+    pynndescent search is likewise approximate.
 
     Parameters
     ----------
@@ -169,14 +174,14 @@ def knn_distances(x, k, batch_size=DEFAULT_BATCH_SIZE, method="auto"):
     """Distances to the k nearest *other* points for every point of x.
 
     Device replacement for ``mellon/parameters.py:352-404`` (pynndescent):
-    blocked matmul search by default; ``method='ivf'`` forces cluster-pruned
+    blocked matmul search by default (``method='exact'`` forces it, naming
+    the non-IVF path — see :func:`knn` for its TPU accuracy contract);
+    ``method='ivf'`` forces cluster-pruned
     search, which ``'auto'`` only picks on the CPU backend above
     :data:`IVF_THRESHOLD` points.  On TPU the blocked sweep rides the MXU
     and beats IVF at every measured scale (IVF's gathers don't: 17.1 s vs
     2.8 s at 250k x 50 on one v5e), so 'auto' never selects IVF there.
     """
-    import jax
-
     x = jnp.atleast_2d(x)
     use_ivf = method == "ivf" or (
         method == "auto"
@@ -335,7 +340,7 @@ def local_dimensionality(x, k=30, x_query=None, neighbor_idx=None):
     pairwise distances.
 
     Behavioural parity: ``mellon/util.py:486-536``; the BallTree/KDTree
-    search is replaced by the exact blocked device kNN and the per-query
+    search is replaced by the blocked device kNN (:func:`knn`) and the per-query
     ``lstsq`` by a closed-form simple-regression slope (identical result).
     """
     x = jnp.atleast_2d(x)

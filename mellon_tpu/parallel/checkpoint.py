@@ -87,6 +87,10 @@ def load_sampler_state(path, state_template=None):
         else:
             out["state"] = leaves
     meta_path = _base_path(path) + ".json"
+    if not os.path.exists(meta_path) and os.path.exists(str(path) + ".json"):
+        # checkpoints written before path normalization placed the sidecar
+        # at '<path>.json' even when path already ended in '.npz'
+        meta_path = str(path) + ".json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             out["metadata"] = json.load(f)

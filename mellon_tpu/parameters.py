@@ -221,7 +221,7 @@ def compute_landmarks_rescale_time(
 
 
 def compute_distances(x, k, seed=DEFAULT_RANDOM_SEED):
-    """Distances to the k nearest neighbors (self excluded), exact on device
+    """Distances to the k nearest neighbors (self excluded), on device
     (parity: ``mellon/parameters.py:352-404``; pynndescent replaced — the
     seed is accepted for API parity but the exact search is deterministic)."""
     x = validate_array(x, "x")
@@ -236,7 +236,7 @@ def compute_distances(x, k, seed=DEFAULT_RANDOM_SEED):
 
 
 def compute_nn_distances(x, seed=DEFAULT_RANDOM_SEED):
-    """Distance to the nearest neighbor of each instance, exact on device
+    """Distance to the nearest neighbor of each instance, on device
     (parity: ``mellon/parameters.py:407-433``)."""
     return compute_distances(x, 1, seed=seed)[:, 0]
 
@@ -249,12 +249,16 @@ def _get_target_cell_count(normalize, time, av_cells_per_tp, unique_times):
     return normalize[unique_times.tolist().index(time)]
 
 
+# above this many distinct time points the one-hot single-search columns
+# would dominate the distance matmul; fall back to per-group searches
+MAX_ONEHOT_TIME_GROUPS = 64
+
+
 def compute_nn_distances_within_time_points(x, times=None, d=None, normalize=False):
     """1-NN distances within each time-point group, with optional
     sampling-bias normalization (parity: ``mellon/parameters.py:444-531``)."""
     x = validate_time_x(x, times)
     unique_times = jnp.unique(x[:, -1])
-    nn_distances = jnp.zeros(x.shape[0])
     n_cells = x.shape[0]
     av_cells_per_tp = n_cells / len(unique_times)
 
@@ -275,7 +279,8 @@ def compute_nn_distances_within_time_points(x, times=None, d=None, normalize=Fal
 
     states = x[:, :-1]
     group = jnp.searchsorted(unique_times, x[:, -1])
-    counts = jnp.bincount(group, length=len(unique_times))
+    n_times = len(unique_times)
+    counts = jnp.bincount(group, length=n_times)
     for i, count in enumerate(np.asarray(counts)):
         if count < 2:
             time = unique_times[i]
@@ -289,22 +294,35 @@ def compute_nn_distances_within_time_points(x, times=None, d=None, normalize=Fal
                 "`nn_distances` manually."
             )
 
-    # Single-search formulation (TPU-first redesign of the reference's
-    # per-time-point loop, ``mellon/parameters.py:444-531``): append one
-    # synthetic coordinate ``group_index * C`` with C far above the data
-    # diameter.  Within a group the extra dimension contributes exactly 0
-    # (equal offsets subtract exactly), so within-group distances are
-    # bit-identical to a per-group search; across groups every distance
-    # gains C^2 and is never selected.  One blocked kNN program over all n
-    # cells replaces T ragged-shaped searches (T program loads).
-    span = jnp.linalg.norm(
-        jnp.max(states, axis=0) - jnp.min(states, axis=0)
-    )
-    C = 8.0 * jnp.maximum(span, 1.0)
-    x_aug = jnp.concatenate(
-        [states, (group.astype(states.dtype) * C)[:, None]], axis=1
-    )
-    nn_distances = compute_nn_distances(x_aug)
+    if n_times <= MAX_ONEHOT_TIME_GROUPS:
+        # Single-search formulation (TPU-first redesign of the reference's
+        # per-time-point loop, ``mellon/parameters.py:444-531``): append
+        # scaled one-hot group columns ``sqrt(BIG/2) * onehot(group)``.
+        # Within a group the extra columns subtract to exactly 0, so
+        # within-group distances are bit-identical to a per-group search;
+        # across groups ||e_i - e_j||^2 = 2 adds exactly BIG, excluding the
+        # pair.  One blocked kNN program over all n cells replaces T
+        # ragged-shaped searches (T program loads).  One-hot (not a single
+        # ``group * C`` column) keeps the norm inflation at the constant
+        # BIG/2 regardless of the group index, so the f32 matmul-form
+        # candidate selection keeps its precision for every time point.
+        span2 = jnp.sum(
+            jnp.square(jnp.max(states, axis=0) - jnp.min(states, axis=0))
+        )
+        big = 16.0 * jnp.maximum(span2, 1.0)
+        onehot = jax.nn.one_hot(group, n_times, dtype=states.dtype)
+        x_aug = jnp.concatenate(
+            [states, jnp.sqrt(big / 2.0) * onehot], axis=1
+        )
+        nn_distances = compute_nn_distances(x_aug)
+    else:
+        # very many time points: the one-hot columns would dominate the
+        # matmul cost, so fall back to per-group searches
+        nn_distances = jnp.zeros(x.shape[0], dtype=states.dtype)
+        for i, time in enumerate(unique_times):
+            mask = x[:, -1] == time
+            nn_at_time = compute_nn_distances(states[mask])
+            nn_distances = nn_distances.at[mask].set(nn_at_time)
 
     if normalize is not False and normalize is not None:
         targets = jnp.asarray(
@@ -315,9 +333,7 @@ def compute_nn_distances_within_time_points(x, times=None, d=None, normalize=Fal
             dtype=nn_distances.dtype,
         )
         n_samples = counts[group].astype(nn_distances.dtype)
-        factor = (n_samples / targets[group]) ** (
-            1 / d if jnp.ndim(d) == 0 else 1 / d
-        )
+        factor = (n_samples / targets[group]) ** (1 / d)
         nn_distances = factor * nn_distances
 
     return nn_distances
