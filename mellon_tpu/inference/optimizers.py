@@ -90,6 +90,9 @@ def minimize_lbfgsb(
     params, value, n_steps = _run_lbfgs(
         loss_func, initial_value, int(max_iter), tol, *loss_args
     )
+    # one host transfer for both scalars (separate int()/float() calls would
+    # each be a blocking device round trip)
+    n_steps, value = jax.device_get((n_steps, value))
     logger.info(
         "L-BFGS finished after %d steps with loss %.6g.",
         int(n_steps),

@@ -234,6 +234,31 @@ class BaseEstimator:
         logger.info("Using covariance function %s.", str(cov_func))
         return cov_func
 
+    def _lp_accept_or_prune(self, K, L, ok):
+        """Finish the f32 sparse Lp: accept the Cholesky attempt (L, ok) of
+        the landmark kernel K, or prune to the pivoted-Cholesky-selected
+        landmark subset and re-factorize.  Shared by the lazy attribute path
+        and the fused prepare program (which performs the first attempt
+        inside one larger executable)."""
+        from ..ops.linalg import select_stable_landmarks, safe_cholesky
+
+        if bool(ok):
+            return L
+        piv = select_stable_landmarks(K, rel_tol=1e-6)
+        logger.warning(
+            "Landmark kernel is singular at f32; pruning %d "
+            "redundant landmarks (keeping %d).",
+            self.landmarks.shape[0] - len(piv),
+            len(piv),
+        )
+        self.landmarks = self.landmarks[piv]
+        self.n_landmarks = int(len(piv))
+        if self.check_rank is None:
+            # rank is known by construction; skip the SVD check
+            self.check_rank = False
+        K_sub = K[piv][:, piv]
+        return safe_cholesky(K_sub, jitter=self.jitter, max_tries=3)
+
     def _compute_Lp(self):
         import jax.numpy as jnp
 
@@ -247,29 +272,14 @@ class BaseEstimator:
             and self.gp_type
             in (GaussianProcessType.SPARSE_CHOLESKY, GaussianProcessType.FIXED)
         ):
-            from ..ops.linalg import _jittered_cholesky, select_stable_landmarks, safe_cholesky
+            from ..ops.linalg import _jittered_cholesky
 
             K = self.cov_func(self.landmarks, self.landmarks)
             if K.dtype != jnp.float64:
                 L, ok = _jittered_cholesky(
                     K, jnp.asarray(self.jitter, dtype=K.dtype)
                 )
-                if bool(ok):
-                    return L
-                piv = select_stable_landmarks(K, rel_tol=1e-6)
-                logger.warning(
-                    "Landmark kernel is singular at f32; pruning %d "
-                    "redundant landmarks (keeping %d).",
-                    self.landmarks.shape[0] - len(piv),
-                    len(piv),
-                )
-                self.landmarks = self.landmarks[piv]
-                self.n_landmarks = int(len(piv))
-                if self.check_rank is None:
-                    # rank is known by construction; skip the SVD check
-                    self.check_rank = False
-                K_sub = K[piv][:, piv]
-                return safe_cholesky(K_sub, jitter=self.jitter, max_tries=3)
+                return self._lp_accept_or_prune(K, L, ok)
 
         return compute_Lp(
             self.x,

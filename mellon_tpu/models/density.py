@@ -219,6 +219,13 @@ class DensityEstimator(BaseEstimator):
         self._prepare_attribute("rank")
         self._prepare_attribute("gp_type")
         self.validate_parameter()
+        # default sparse configuration: one fused program + one host fetch
+        # sets nn_distances/d/mu/ls/cov_func/landmarks/Lp together (the lazy
+        # chain below then finds them present); any customization falls
+        # through to the lazy per-attribute path
+        from .fused import maybe_fused_sparse_prepare
+
+        maybe_fused_sparse_prepare(self)
         self._prepare_attribute("nn_distances")
         self._prepare_attribute("d")
         self._prepare_attribute("mu")

@@ -1,0 +1,182 @@
+"""Fused one-program preparation for the default sparse density fit.
+
+The lazy attribute protocol (``_prepare_attribute``, parity with
+``mellon/base_model.py:433-446``) computes nn-distances, heuristics,
+landmarks, and the landmark Cholesky as separate device programs with a
+host synchronization between each — every ``float()``/``bool()`` fetch is a
+blocking round trip, and on remote-attached accelerators those round trips
+dominate the warm fit.  This module compiles the whole default pipeline
+
+    kNN -> nn repair -> mu/ls heuristics -> (subsample) -> k-means++
+    -> Lloyd -> landmark kernel -> Cholesky attempt
+
+into ONE executable with ONE scalar fetch at the end.  It produces
+bit-identical attributes to the lazy path (same underlying kernels, same
+PRNG key discipline), so it is applied transparently by
+``DensityEstimator.prepare_inference`` whenever the estimator is in its
+default configuration; any customization (precomputed attributes, fractal
+d, custom kernels without an operand spec, non-sparse GP types) falls back
+to the lazy path unchanged.
+"""
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.cluster import DEFAULT_ASSIGN_BLOCK, DEFAULT_N_ITER, _kmeanspp_init, _lloyd
+from ..ops.kernels import _SPEC_CORES, eval_operand_spec
+from ..ops.neighbors import DEFAULT_BATCH_SIZE, DEFAULT_COL_BLOCK, _knn_blocked
+from ..parameters import DEFAULT_RANDOM_SEED, KMEANS_SUBSAMPLE_THRESHOLD
+from ..utils.util import GaussianProcessType, mle
+from ..utils.validation import _nn_repair_impl, report_nn_repair
+
+logger = logging.getLogger("mellon_tpu")
+
+# escape hatch (and A/B test hook): setting this False forces the lazy
+# per-attribute path everywhere
+ENABLED = True
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "k_landmarks", "d_int", "n_sub", "knn_batch", "assign_block"),
+)
+def _fused_sparse_prepare_program(
+    x, key, jitter, ls_factor, spec, k_landmarks, d_int, n_sub, knn_batch, assign_block
+):
+    """The fused pipeline; every stage reproduces the corresponding lazy
+    computation exactly (same ops, same key usage)."""
+    jitter = jnp.asarray(jitter, dtype=x.dtype)
+    ls_factor = jnp.asarray(ls_factor, dtype=x.dtype)
+
+    # 1-NN distance, self excluded (== compute_nn_distances)
+    dists, _ = _knn_blocked(x, x, 2, knn_batch, DEFAULT_COL_BLOCK)
+    nn_raw = dists[:, 1]
+    nn, nan_c, inf_c, neg_c, all_bad = _nn_repair_impl(nn_raw)
+
+    # heuristics (== _mu_kernel / _ls_kernel with ls_factor applied)
+    mu = jnp.quantile(mle(nn, d_int), 0.01) - 10
+    ls = jnp.exp(jnp.log(nn).mean() + 3.0) * ls_factor
+
+    # landmarks (== compute_landmarks: optional uniform subsample, then
+    # seeded k-means++/Lloyd; both code paths construct PRNGKey(random_state)
+    # independently, so reusing `key` for choice and seeding is identical)
+    x_fit = x
+    if n_sub is not None:
+        idx = jax.random.choice(key, x.shape[0], shape=(n_sub,), replace=False)
+        x_fit = x[idx]
+    init_centroids = _kmeanspp_init(x_fit, k_landmarks, key)
+    xu = _lloyd(x_fit, init_centroids, k_landmarks, DEFAULT_N_ITER, assign_block)
+
+    # landmark kernel + first Cholesky attempt (== _jittered_cholesky)
+    K = eval_operand_spec(spec, (ls,), xu, xu)
+    diag = jnp.arange(K.shape[0])
+    Lp = jnp.linalg.cholesky(K.at[diag, diag].add(jitter))
+    ok = ~jnp.any(jnp.isnan(Lp))
+
+    return nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok
+
+
+def maybe_fused_sparse_prepare(est):
+    """Apply the fused prepare to ``est`` if it is in the default sparse
+    configuration.  Returns True when the attributes were set (the lazy
+    ``_prepare_attribute`` chain then finds them present and skips), False
+    to fall back to the lazy path."""
+    curry = est.cov_func_curry
+    tag = getattr(curry, "_spec_tag", None)
+    if not (
+        ENABLED
+        and est.nn_distances is None
+        and est.mu is None
+        and est.ls is None
+        and est.cov_func is None
+        and est.landmarks is None
+        and est.Lp is None
+        and est.L is None
+        and est.d is None
+        and getattr(est, "d_method", None) == "embedding"
+        and est.gp_type == GaussianProcessType.SPARSE_CHOLESKY
+        and tag in _SPEC_CORES
+        and tuple(getattr(curry, "_spec_params", ())) == ("ls",)
+    ):
+        return False
+
+    x = est.x
+    n, d_int = x.shape
+    if d_int > 50:
+        return False  # the lazy path raises the documented d>50 error
+    k = int(est.n_landmarks)
+    if not 1 < k < n:
+        return False
+    x64 = x.dtype == jnp.float64
+
+    logger.info("Computing nearest neighbor distances.")
+    logger.info(
+        f"Using embedding dimensionality d={d_int}. "
+        'Use d_method="fractal" to enable effective density normalization.'
+    )
+    if n > 100 * k and n > 1e6:
+        logger.info(
+            f"Large number of {n:,} cells and "
+            f"small number of {k:,} landmarks. Consider "
+            "computing k-means on a subset of cells and passing "
+            "the results as 'landmarks' to speed up the process."
+        )
+    threshold = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * k)
+    n_sub = threshold if n > threshold else None
+    if n_sub is not None:
+        logger.info(
+            f"Running k-means on a uniform subsample of {n_sub:,} of "
+            f"{n:,} cells (quantization quality is insensitive to this)."
+        )
+    random_state = (
+        est.random_state if est.random_state is not None else DEFAULT_RANDOM_SEED
+    )
+    logger.info(
+        f"Computing {k:,} landmarks with k-means clustering "
+        f"(random_state={random_state})."
+    )
+
+    spec = (tag, None, 1)
+    key = jax.random.PRNGKey(int(random_state))
+    nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok = (
+        _fused_sparse_prepare_program(
+            x,
+            key,
+            float(est.jitter),
+            float(est.ls_factor),
+            spec,
+            k,
+            d_int,
+            n_sub,
+            int(min(DEFAULT_BATCH_SIZE, n)),
+            int(min(DEFAULT_ASSIGN_BLOCK, n_sub if n_sub is not None else n)),
+        )
+    )
+    # ONE host transfer for every scalar the host logic needs
+    nan_c, inf_c, neg_c, all_bad, mu, ls, ok = jax.device_get(
+        (nan_c, inf_c, neg_c, all_bad, mu, ls, ok)
+    )
+    report_nn_repair(nan_c, inf_c, neg_c, all_bad)
+
+    est.nn_distances = nn
+    est.d = d_int
+    est.mu = float(mu)
+    est.ls = float(ls)
+    est.cov_func = curry(float(ls))
+    logger.info("Using covariance function %s.", str(est.cov_func))
+    est.landmarks = xu
+    max_tries = 0 if x64 else 3
+    if bool(ok) or max_tries == 0:
+        if not bool(ok):
+            # f64 parity: the lazy path raises through safe_cholesky
+            from ..ops.linalg import safe_cholesky
+
+            est.Lp = safe_cholesky(K, jitter=est.jitter, max_tries=0)
+        else:
+            est.Lp = Lp
+    else:
+        est.Lp = est._lp_accept_or_prune(K, Lp, False)
+    return True

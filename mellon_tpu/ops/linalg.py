@@ -64,14 +64,16 @@ def safe_cholesky(K, jitter=DEFAULT_JITTER, max_tries=0):
     works unchanged.
     """
     L, ok = _jittered_cholesky(K, jnp.asarray(jitter, dtype=K.dtype))
+    ok = bool(ok)
     tries = 0
     extra = max(jitter, DEFAULT_JITTER)
-    while not bool(ok) and tries < max_tries:
+    while not ok and tries < max_tries:
         extra = extra * 10
         tries += 1
         logger.warning(f"Cholesky failed; retrying with jitter={extra:.2e}.")
         L, ok = _jittered_cholesky(K, jnp.asarray(extra, dtype=K.dtype))
-    if not bool(ok) and max_tries > 0:
+        ok = bool(ok)
+    if not ok and max_tries > 0:
         # Precision fallback: the kernel matrix is PSD but its condition
         # number exceeds f32 resolution (common for wide Matern kernels over
         # thousands of landmarks).  Factorize once on the host in f64 — the
@@ -91,11 +93,14 @@ def safe_cholesky(K, jitter=DEFAULT_JITTER, max_tries=0):
             try:
                 L_host = np.linalg.cholesky(A_host)
                 L = jnp.asarray(L_host, dtype=K.dtype)
+                ok = True
                 break
             except np.linalg.LinAlgError:
                 A_host[np.diag_indices_from(A_host)] += 9 * host_jitter
                 host_jitter *= 10
-    if bool(jnp.any(jnp.isnan(L))):
+    # ok already encodes the NaN check (see _jittered_cholesky) — no second
+    # device round trip needed when the factorization succeeded
+    if not ok:
         message = (
             f"Covariance not positively definite with jitter={jitter}. "
             "Consider increasing the jitter for numerical stabilization."
@@ -138,11 +143,16 @@ def _full_rank(x, cov_func, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER):
     (parity: ``mellon/decomposition.py:79-123``; in f32 the jitter escalates
     geometrically before failing, which the reference — running f64 — never
     needed)."""
-    sigma2 = jnp.square(sigma)
-    sigma2 = jnp.where(sigma2 < jitter, jitter, sigma2)
+    if isinstance(sigma, (int, float)):
+        # common case (default sigma=0): resolve the jitter on the host —
+        # float() on a device scalar would be a blocking round trip
+        eff_jitter = max(float(sigma) ** 2, jitter)
+    else:
+        sigma2 = jnp.square(sigma)
+        eff_jitter = float(jnp.maximum(sigma2, jitter))
     K = cov_func(x, x)
     max_tries = 0 if K.dtype == jnp.float64 else 3
-    return safe_cholesky(K, jitter=float(jnp.maximum(sigma2, jitter)), max_tries=max_tries)
+    return safe_cholesky(K, jitter=eff_jitter, max_tries=max_tries)
 
 
 def _full_decomposition_low_rank(
@@ -278,9 +288,23 @@ def select_stable_landmarks(K, rel_tol=1e-6, max_rank=None, quantize=True):
     """
     m = K.shape[0]
     if max_rank is None:
-        max_rank = m
-    piv, r, _ = _pivoted_cholesky(K, rel_tol, int(max_rank))
-    r = int(r)
+        # iterative doubling: each pivot step streams the (m, max_rank)
+        # factor, so a tight cap cuts the loop's bandwidth ~m/cap-fold.
+        # Typical kernel numerical ranks are far below m; if the cap is hit
+        # (r == cap means the tolerance was not reached) double and rerun.
+        cap = min(m, 1024)
+        while True:
+            piv, r, _ = _pivoted_cholesky(K, rel_tol, int(cap))
+            r, piv = jax.device_get((r, piv))
+            r = int(r)
+            if r < cap or cap >= m:
+                break
+            cap = min(2 * cap, m)
+    else:
+        piv, r, _ = _pivoted_cholesky(K, rel_tol, int(max_rank))
+        # one host transfer for the count and the pivot list together
+        r, piv = jax.device_get((r, piv))
+        r = int(r)
     if quantize:
         buckets = [b for b in RANK_BUCKETS if b <= r]
         if buckets:

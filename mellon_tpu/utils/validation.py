@@ -242,19 +242,10 @@ def _nn_repair_impl(nn):
 _nn_repair_jit = jax.jit(_nn_repair_impl)
 
 
-def validate_nn_distances(nn_distances, optional=False):
-    """Repair invalid nearest-neighbor distances; parity with
-    ``mellon/validation.py:528-592``."""
-    if nn_distances is None:
-        if optional:
-            return None
-        message = "nn_distances are required but None is given."
-        logger.error(message)
-        raise ValueError(message)
-
-    repaired, nan_count, inf_count, negative_count, all_bad = _nn_repair_kernel(
-        nn_distances
-    )
+def report_nn_repair(nan_count, inf_count, negative_count, all_bad):
+    """Emit the repair warning / all-invalid error for pre-fetched repair
+    counts (shared by :func:`validate_nn_distances` and the fused prepare
+    path, which computes the counts inside one larger program)."""
     nan_count = int(nan_count)
     inf_count = int(inf_count)
     negative_count = int(negative_count)
@@ -272,8 +263,6 @@ def validate_nn_distances(nn_distances, optional=False):
         logger.error(message)
         raise ValueError(message)
 
-    nn_distances = repaired
-
     if total_invalid > 0:
         logger.warning(
             "The computed nearest neighbor distances (`nn_distances` attribute) "
@@ -282,7 +271,28 @@ def validate_nn_distances(nn_distances, optional=False):
             "Please check the input data. Setting invalid distances to the "
             "minimum positive value found."
         )
-    return nn_distances
+
+
+def validate_nn_distances(nn_distances, optional=False):
+    """Repair invalid nearest-neighbor distances; parity with
+    ``mellon/validation.py:528-592``."""
+    if nn_distances is None:
+        if optional:
+            return None
+        message = "nn_distances are required but None is given."
+        logger.error(message)
+        raise ValueError(message)
+
+    repaired, nan_count, inf_count, negative_count, all_bad = _nn_repair_kernel(
+        nn_distances
+    )
+    # one host transfer for all four scalars (each separate int()/bool()
+    # would be its own blocking device round trip)
+    nan_count, inf_count, negative_count, all_bad = jax.device_get(
+        (nan_count, inf_count, negative_count, all_bad)
+    )
+    report_nn_repair(nan_count, inf_count, negative_count, all_bad)
+    return repaired
 
 
 def validate_k(k, n_samples):
