@@ -24,9 +24,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
 
 from ..ops.cluster import DEFAULT_ASSIGN_BLOCK, DEFAULT_N_ITER, _kmeanspp_init, _lloyd
 from ..ops.kernels import _SPEC_CORES, eval_operand_spec
+from ..ops.linalg import ridge_solve
 from ..ops.neighbors import DEFAULT_BATCH_SIZE, DEFAULT_COL_BLOCK, _knn_blocked
 from ..parameters import DEFAULT_RANDOM_SEED, KMEANS_SUBSAMPLE_THRESHOLD
 from ..utils.util import GaussianProcessType, mle
@@ -77,6 +79,34 @@ def _fused_sparse_prepare_program(
     ok = ~jnp.any(jnp.isnan(Lp))
 
     return nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok
+
+
+@partial(jax.jit, static_argnames=("spec", "d_int"))
+def _fused_factorize_program(x, xu, Lp, nn, mu, ls, spec, d_int):
+    """Stage 2 when the landmark Cholesky succeeded: cross-covariance TRSM
+    (== _standard_low_rank_fused_spec) + ridge warm start
+    (== _initial_value_kernel) in one executable."""
+    C = eval_operand_spec(spec, (ls,), x, xu)
+    L = solve_triangular(Lp, C.T, lower=True).T
+    z0 = ridge_solve(L, mle(nn, d_int) - mu, 1.0)
+    return L, z0
+
+
+@partial(jax.jit, static_argnames=("spec", "d_int"))
+def _fused_prune_factorize_program(K, piv, x, xu, nn, mu, ls, jitter, spec, d_int):
+    """Stage 2 for the pruning path: gather the selected landmark submatrix,
+    factorize with jitter (== safe_cholesky's first attempt), then TRSM +
+    ridge warm start — one executable, one validity flag."""
+    jitter = jnp.asarray(jitter, dtype=K.dtype)
+    K_sub = K[piv][:, piv]
+    diag = jnp.arange(K_sub.shape[0])
+    Lp = jnp.linalg.cholesky(K_sub.at[diag, diag].add(jitter))
+    ok = ~jnp.any(jnp.isnan(Lp))
+    xu_sel = xu[piv]
+    C = eval_operand_spec(spec, (ls,), x, xu_sel)
+    L = solve_triangular(Lp, C.T, lower=True).T
+    z0 = ridge_solve(L, mle(nn, d_int) - mu, 1.0)
+    return Lp, xu_sel, L, z0, ok
 
 
 def maybe_fused_sparse_prepare(est):
@@ -168,15 +198,66 @@ def maybe_fused_sparse_prepare(est):
     est.cov_func = curry(float(ls))
     logger.info("Using covariance function %s.", str(est.cov_func))
     est.landmarks = xu
-    max_tries = 0 if x64 else 3
-    if bool(ok) or max_tries == 0:
-        if not bool(ok):
-            # f64 parity: the lazy path raises through safe_cholesky
-            from ..ops.linalg import safe_cholesky
 
-            est.Lp = safe_cholesky(K, jitter=est.jitter, max_tries=0)
-        else:
-            est.Lp = Lp
+    from .base import RANK_FRACTION_THRESHOLD, SAMPLE_LANDMARK_RATIO  # noqa: F401
+    from ..ops.linalg import safe_cholesky, select_stable_landmarks
+
+    if bool(ok):
+        est.Lp = Lp
+        would_check_rank = (
+            est.check_rank is None and SAMPLE_LANDMARK_RATIO * k < n
+        ) or bool(est.check_rank)
+        if would_check_rank:
+            # leave L/initial_value to the lazy path so the documented
+            # rank-estimation diagnostics run unchanged
+            return True
+        L, z0 = _fused_factorize_program(
+            x, xu, Lp, nn, float(mu), float(ls), spec, d_int
+        )
+        est.L = L
+        est.initial_value = z0
+        logger.info(f"Using rank {k:,} covariance representation.")
+        return True
+
+    if x64:
+        # f64 parity: the lazy path raises through safe_cholesky
+        est.Lp = safe_cholesky(K, jitter=est.jitter, max_tries=0)
+        return True
+
+    # f32 pruning path: pivoted-Cholesky landmark subset, then one program
+    # for submatrix Cholesky + TRSM + ridge warm start
+    piv = select_stable_landmarks(K, rel_tol=1e-6)
+    logger.warning(
+        "Landmark kernel is singular at f32; pruning %d "
+        "redundant landmarks (keeping %d).",
+        k - len(piv),
+        len(piv),
+    )
+    est.n_landmarks = int(len(piv))
+    if est.check_rank is None:
+        # rank is known by construction; skip the SVD check
+        est.check_rank = False
+    Lp2, xu_sel, L, z0, ok2 = _fused_prune_factorize_program(
+        K,
+        jnp.asarray(piv, dtype=jnp.int32),
+        x,
+        xu,
+        nn,
+        float(mu),
+        float(ls),
+        float(est.jitter),
+        spec,
+        d_int,
+    )
+    est.landmarks = xu_sel
+    if bool(ok2):
+        est.Lp = Lp2
+        est.L = L
+        est.initial_value = z0
+        logger.info(f"Using rank {len(piv):,} covariance representation.")
     else:
-        est.Lp = est._lp_accept_or_prune(K, Lp, False)
+        # rare: the submatrix still needs jitter escalation — reuse the
+        # robust path and let L/initial_value fall back to the lazy chain
+        K_sub = K[piv][:, piv]
+        est.Lp = safe_cholesky(K_sub, jitter=est.jitter, max_tries=3)
     return True

@@ -112,6 +112,44 @@ def test_fused_prepare_with_custom_seed_and_ls_factor(data):
     assert np.isclose(est_f.ls, est_l.ls, rtol=1e-12)
 
 
+def test_prune_factorize_program_matches_lazy_components(data):
+    """The stage-2 pruning program must equal the lazy pipeline it fuses:
+    submatrix Cholesky + cross-covariance TRSM + ridge warm start."""
+    from jax.scipy.linalg import solve_triangular
+
+    from mellon_tpu.models.fused import _fused_prune_factorize_program
+    from mellon_tpu.ops.cluster import k_means
+    from mellon_tpu.ops.linalg import ridge_solve, safe_cholesky
+    from mellon_tpu.parameters import compute_nn_distances
+    from mellon_tpu.utils.util import mle, stabilize
+    from mellon_tpu.ops.kernels import Matern52
+
+    x = data
+    nn = compute_nn_distances(x)
+    ls, mu, d, jitter = 3.0, -4.0, 3, 1e-6
+    cov = Matern52(ls)
+    xu = k_means(x, 40, random_state=0)
+    K = cov(xu, xu)
+    piv = jnp.asarray(np.random.RandomState(1).permutation(40)[:16], dtype=jnp.int32)
+
+    Lp_f, xu_sel_f, L_f, z0_f, ok = _fused_prune_factorize_program(
+        K, piv, x, xu, nn, mu, ls, jitter, ("matern52", None, 1), d
+    )
+    assert bool(ok)
+
+    K_sub = K[piv][:, piv]
+    Lp_l = safe_cholesky(K_sub, jitter=jitter, max_tries=3)
+    xu_sel_l = xu[piv]
+    C = cov(x, xu_sel_l)
+    L_l = solve_triangular(Lp_l, C.T, lower=True).T
+    z0_l = ridge_solve(L_l, mle(nn, d) - mu, 1.0)
+
+    np.testing.assert_array_equal(np.asarray(Lp_f), np.asarray(Lp_l))
+    np.testing.assert_array_equal(np.asarray(xu_sel_f), np.asarray(xu_sel_l))
+    np.testing.assert_allclose(np.asarray(L_f), np.asarray(L_l), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(z0_f), np.asarray(z0_l), rtol=1e-10)
+
+
 def test_fused_prepare_nn_repair_warning(data, caplog):
     import logging
 
