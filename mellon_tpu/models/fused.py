@@ -82,18 +82,19 @@ def _fused_sparse_prepare_program(
 
 
 @partial(jax.jit, static_argnames=("spec", "d_int"))
-def _fused_factorize_program(x, xu, Lp, nn, mu, ls, spec, d_int):
+def _fused_factorize_program(x, xu, Lp, nn, mu, params, spec, d_int):
     """Stage 2 when the landmark Cholesky succeeded: cross-covariance TRSM
     (== _standard_low_rank_fused_spec) + ridge warm start
-    (== _initial_value_kernel) in one executable."""
-    C = eval_operand_spec(spec, (ls,), x, xu)
+    (== _initial_value_kernel) in one executable.  ``params`` is the
+    kernel's operand tuple (e.g. ``(ls,)`` or ``(ls, ls_time)``)."""
+    C = eval_operand_spec(spec, params, x, xu)
     L = solve_triangular(Lp, C.T, lower=True).T
     z0 = ridge_solve(L, mle(nn, d_int) - mu, 1.0)
     return L, z0
 
 
 @partial(jax.jit, static_argnames=("spec", "d_int"))
-def _fused_prune_factorize_program(K, piv, x, xu, nn, mu, ls, jitter, spec, d_int):
+def _fused_prune_factorize_program(K, piv, x, xu, nn, mu, params, jitter, spec, d_int):
     """Stage 2 for the pruning path: gather the selected landmark submatrix,
     factorize with jitter (== safe_cholesky's first attempt), then TRSM +
     ridge warm start — one executable, one validity flag."""
@@ -103,7 +104,7 @@ def _fused_prune_factorize_program(K, piv, x, xu, nn, mu, ls, jitter, spec, d_in
     Lp = jnp.linalg.cholesky(K_sub.at[diag, diag].add(jitter))
     ok = ~jnp.any(jnp.isnan(Lp))
     xu_sel = xu[piv]
-    C = eval_operand_spec(spec, (ls,), x, xu_sel)
+    C = eval_operand_spec(spec, params, x, xu_sel)
     L = solve_triangular(Lp, C.T, lower=True).T
     z0 = ridge_solve(L, mle(nn, d_int) - mu, 1.0)
     return Lp, xu_sel, L, z0, ok
@@ -198,11 +199,263 @@ def maybe_fused_sparse_prepare(est):
     est.cov_func = curry(float(ls))
     logger.info("Using covariance function %s.", str(est.cov_func))
     est.landmarks = xu
+    _finish_factorization(
+        est, x, xu, nn, float(mu), (float(ls),), K, Lp, bool(ok), spec, d_int, x64
+    )
+    return True
 
-    from .base import RANK_FRACTION_THRESHOLD, SAMPLE_LANDMARK_RATIO  # noqa: F401
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec",
+        "k_landmarks",
+        "d_int",
+        "n_sub",
+        "n_times",
+        "normalize",
+        "knn_batch",
+        "assign_block",
+    ),
+)
+def _fused_time_prepare_program(
+    x,
+    group,
+    counts,
+    targets,
+    key,
+    jitter,
+    ls_time,
+    ls_factor,
+    spec,
+    k_landmarks,
+    d_int,
+    n_sub,
+    n_times,
+    normalize,
+    knn_batch,
+    assign_block,
+):
+    """Fused preparation for the time-sensitive density model with a given
+    ls_time: within-time 1-NN (one-hot group columns, ==
+    compute_nn_distances_within_time_points) -> optional sampling-bias
+    normalization -> repair -> mu/ls -> time-rescaled k-means landmarks
+    (== compute_landmarks_rescale_time) -> product-kernel Cholesky attempt."""
+    jitter = jnp.asarray(jitter, dtype=x.dtype)
+    ls_time = jnp.asarray(ls_time, dtype=x.dtype)
+    ls_factor = jnp.asarray(ls_factor, dtype=x.dtype)
+    states = x[:, :-1]
+
+    # within-time 1-NN by one-hot group columns (bit-identical to a
+    # per-group search; see parameters.compute_nn_distances_within_time_points)
+    span2 = jnp.sum(jnp.square(jnp.max(states, axis=0) - jnp.min(states, axis=0)))
+    big = 16.0 * jnp.maximum(span2, 1.0)
+    onehot = jax.nn.one_hot(group, n_times, dtype=states.dtype)
+    x_aug = jnp.concatenate([states, jnp.sqrt(big / 2.0) * onehot], axis=1)
+    dists, _ = _knn_blocked(x_aug, x_aug, 2, knn_batch, DEFAULT_COL_BLOCK)
+    nn_raw = dists[:, 1]
+
+    if normalize:
+        n_samples = counts[group].astype(nn_raw.dtype)
+        factor = (n_samples / targets[group]) ** (1.0 / d_int)
+        nn_model = factor * nn_raw
+        nn_ls_src = nn_raw  # the lazy path re-searches without
+        # normalization for the ls heuristic; the search is deterministic,
+        # so reusing the raw distances is identical
+    else:
+        nn_model = nn_raw
+        nn_ls_src = None
+
+    nn, nan_c, inf_c, neg_c, all_bad = _nn_repair_impl(nn_model)
+    if nn_ls_src is None:
+        nn_ls_src = nn
+
+    mu = jnp.quantile(mle(nn, d_int), 0.01) - 10
+    ls = jnp.exp(jnp.log(nn_ls_src).mean() + 3.0) * ls_factor
+
+    # landmarks in time-rescaled space
+    time_factor = ls / ls_time
+    x_resc = x.at[:, -1].multiply(time_factor)
+    x_fit = x_resc
+    if n_sub is not None:
+        idx = jax.random.choice(key, x.shape[0], shape=(n_sub,), replace=False)
+        x_fit = x_resc[idx]
+    init_centroids = _kmeanspp_init(x_fit, k_landmarks, key)
+    xu = _lloyd(x_fit, init_centroids, k_landmarks, DEFAULT_N_ITER, assign_block)
+    xu = xu.at[:, -1].divide(time_factor)
+
+    K = eval_operand_spec(spec, (ls, ls_time), xu, xu)
+    diag = jnp.arange(K.shape[0])
+    Lp = jnp.linalg.cholesky(K.at[diag, diag].add(jitter))
+    ok = ~jnp.any(jnp.isnan(Lp))
+
+    return nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok
+
+
+def maybe_fused_time_prepare(est):
+    """Fused prepare for TimeSensitiveDensityEstimator when ls_time is
+    given and the estimator is otherwise in its default sparse
+    configuration.  Returns True when applied."""
+    curry = est.cov_func_curry
+    tag = getattr(curry, "_spec_tag", None)
+    if not (
+        ENABLED
+        and est.nn_distances is None
+        and est.mu is None
+        and est.ls is None
+        and est.ls_time is not None
+        and est.cov_func is None
+        and est.landmarks is None
+        and est.Lp is None
+        and est.L is None
+        and est.d is None
+        and getattr(est, "d_method", None) == "embedding"
+        and est.gp_type == GaussianProcessType.SPARSE_CHOLESKY
+        and tag in _SPEC_CORES
+        and tuple(getattr(curry, "_spec_params", ())) == ("ls",)
+    ):
+        return False
+
+    import numpy as np
+
+    from ..parameters import (
+        MAX_ONEHOT_TIME_GROUPS,
+        _get_target_cell_count,
+        compute_cov_func,
+    )
+
+    x = est.x
+    n = x.shape[0]
+    d_int = x.shape[1] - 1
+    if d_int > 50:
+        return False  # the lazy path raises the documented d>50 error
+    k = int(est.n_landmarks)
+    if not 1 < k < n:
+        return False
+    x64 = x.dtype == jnp.float64
+
+    # host-side time bookkeeping (one small transfer of the time column)
+    t_host = np.asarray(x[:, -1])
+    unique_times, counts_np = np.unique(t_host, return_counts=True)
+    n_times = len(unique_times)
+    if n_times > MAX_ONEHOT_TIME_GROUPS or (counts_np < 2).any():
+        # many groups: the lazy path's per-group fallback applies;
+        # undersampled time point: the lazy path raises the documented error
+        return False
+    group = np.searchsorted(unique_times, t_host)
+
+    normalize = est.normalize_per_time_point
+    do_normalize = normalize is not False and normalize is not None
+    av_cells_per_tp = n / n_times
+    if do_normalize:
+        targets = np.asarray(
+            [
+                _get_target_cell_count(
+                    normalize, t, av_cells_per_tp, jnp.asarray(unique_times)
+                )
+                for t in unique_times
+            ],
+            dtype=np.float64,
+        )
+        logger.info(
+            "Normalizing nearest neighbor distances correcting sampling "
+            f"bias for {n_times} different time points."
+        )
+    else:
+        targets = np.ones(n_times)
+
+    logger.info("Computing nearest neighbor distances within time points.")
+    logger.info(
+        f"Using embedding dimensionality d={d_int}. "
+        'Use d_method="fractal" to enable effective density normalization.'
+    )
+    if do_normalize:
+        logger.info("Computing non-normalized nn_distances for length scale heuristic.")
+    if n > 100 * k and n > 1e6:
+        logger.info(
+            f"Large number of {n:,} cells and "
+            f"small number of {k:,} landmarks. Consider "
+            "computing k-means on a subset of cells and passing "
+            "the results as 'landmarks' to speed up the process."
+        )
+    threshold = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * k)
+    n_sub = threshold if n > threshold else None
+    if n_sub is not None:
+        logger.info(
+            f"Running k-means on a uniform subsample of {n_sub:,} of "
+            f"{n:,} cells (quantization quality is insensitive to this)."
+        )
+    random_state = (
+        est.random_state if est.random_state is not None else DEFAULT_RANDOM_SEED
+    )
+    logger.info(
+        f"Computing {k:,} landmarks with k-means clustering "
+        f"(random_state={random_state})."
+    )
+
+    # product-kernel structure from a value-free template
+    spec, _ = compute_cov_func(curry, 1.0, 1.0).operand_spec()
+    key = jax.random.PRNGKey(int(random_state))
+    nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok = (
+        _fused_time_prepare_program(
+            x,
+            jnp.asarray(group, dtype=jnp.int32),
+            jnp.asarray(counts_np, dtype=jnp.int32),
+            jnp.asarray(targets, dtype=x.dtype),
+            key,
+            float(est.jitter),
+            float(est.ls_time),
+            float(est.ls_factor),
+            spec,
+            k,
+            d_int,
+            n_sub,
+            n_times,
+            bool(do_normalize),
+            int(min(DEFAULT_BATCH_SIZE, n)),
+            int(min(DEFAULT_ASSIGN_BLOCK, n_sub if n_sub is not None else n)),
+        )
+    )
+    nan_c, inf_c, neg_c, all_bad, mu, ls, ok = jax.device_get(
+        (nan_c, inf_c, neg_c, all_bad, mu, ls, ok)
+    )
+    report_nn_repair(nan_c, inf_c, neg_c, all_bad)
+
+    est.nn_distances = nn
+    est.d = d_int
+    est.mu = float(mu)
+    est.ls = float(ls)
+    est.cov_func = compute_cov_func(curry, float(ls), float(est.ls_time))
+    logger.info("Using covariance function %s.", str(est.cov_func))
+    est.landmarks = xu
+    _finish_factorization(
+        est,
+        x,
+        xu,
+        nn,
+        float(mu),
+        (float(ls), float(est.ls_time)),
+        K,
+        Lp,
+        bool(ok),
+        spec,
+        d_int,
+        x64,
+    )
+    return True
+
+
+def _finish_factorization(est, x, xu, nn, mu, params, K, Lp, ok, spec, d_int, x64):
+    """Shared stage-2 tail of the fused prepares: accept the landmark
+    Cholesky attempt (fusing TRSM + ridge warm start), or prune to the
+    pivoted subset and run one submatrix program.  ``params`` is the
+    kernel-operand tuple matching ``spec``."""
+    from .base import SAMPLE_LANDMARK_RATIO
     from ..ops.linalg import safe_cholesky, select_stable_landmarks
 
-    if bool(ok):
+    n = x.shape[0]
+    k = xu.shape[0]
+    if ok:
         est.Lp = Lp
         would_check_rank = (
             est.check_rank is None and SAMPLE_LANDMARK_RATIO * k < n
@@ -210,19 +463,17 @@ def maybe_fused_sparse_prepare(est):
         if would_check_rank:
             # leave L/initial_value to the lazy path so the documented
             # rank-estimation diagnostics run unchanged
-            return True
-        L, z0 = _fused_factorize_program(
-            x, xu, Lp, nn, float(mu), float(ls), spec, d_int
-        )
+            return
+        L, z0 = _fused_factorize_program(x, xu, Lp, nn, mu, params, spec, d_int)
         est.L = L
         est.initial_value = z0
         logger.info(f"Using rank {k:,} covariance representation.")
-        return True
+        return
 
     if x64:
         # f64 parity: the lazy path raises through safe_cholesky
         est.Lp = safe_cholesky(K, jitter=est.jitter, max_tries=0)
-        return True
+        return
 
     # f32 pruning path: pivoted-Cholesky landmark subset, then one program
     # for submatrix Cholesky + TRSM + ridge warm start
@@ -243,8 +494,8 @@ def maybe_fused_sparse_prepare(est):
         x,
         xu,
         nn,
-        float(mu),
-        float(ls),
+        mu,
+        params,
         float(est.jitter),
         spec,
         d_int,
@@ -260,4 +511,3 @@ def maybe_fused_sparse_prepare(est):
         # robust path and let L/initial_value fall back to the lazy chain
         K_sub = K[piv][:, piv]
         est.Lp = safe_cholesky(K_sub, jitter=est.jitter, max_tries=3)
-    return True

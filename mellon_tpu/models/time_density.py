@@ -349,6 +349,13 @@ class TimeSensitiveDensityEstimator(BaseEstimator):
         self._prepare_attribute("rank")
         self._prepare_attribute("gp_type")
         self.validate_parameter()
+        # default sparse configuration with a given ls_time: one fused
+        # program + one host fetch sets nn_distances/d/mu/ls/cov_func/
+        # landmarks/Lp (+ L/initial_value); customizations fall through to
+        # the lazy per-attribute path below
+        from .fused import maybe_fused_time_prepare
+
+        maybe_fused_time_prepare(self)
         self._prepare_attribute("d")
         self._prepare_attribute("nn_distances")
         self._prepare_attribute("mu")

@@ -133,7 +133,7 @@ def test_prune_factorize_program_matches_lazy_components(data):
     piv = jnp.asarray(np.random.RandomState(1).permutation(40)[:16], dtype=jnp.int32)
 
     Lp_f, xu_sel_f, L_f, z0_f, ok = _fused_prune_factorize_program(
-        K, piv, x, xu, nn, mu, ls, jitter, ("matern52", None, 1), d
+        K, piv, x, xu, nn, mu, (ls,), jitter, ("matern52", None, 1), d
     )
     assert bool(ok)
 
@@ -148,6 +148,80 @@ def test_prune_factorize_program_matches_lazy_components(data):
     np.testing.assert_array_equal(np.asarray(xu_sel_f), np.asarray(xu_sel_l))
     np.testing.assert_allclose(np.asarray(L_f), np.asarray(L_l), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(z0_f), np.asarray(z0_l), rtol=1e-10)
+
+
+@pytest.fixture
+def time_data():
+    rs = np.random.RandomState(3)
+    x = rs.randn(240, 3).astype(np.float64)
+    times = rs.randint(0, 4, 240).astype(np.float64)
+    return jnp.asarray(x), jnp.asarray(times)
+
+
+def _prepare_time(time_data, use_fused, **kwargs):
+    x, times = time_data
+    old = fused.ENABLED
+    fused.ENABLED = use_fused
+    try:
+        est = mellon_tpu.TimeSensitiveDensityEstimator(
+            n_landmarks=40, ls_time=1.5, **kwargs
+        )
+        est.prepare_inference(x, times)
+    finally:
+        fused.ENABLED = old
+    return est
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_fused_time_prepare_matches_lazy(time_data, normalize):
+    est_f = _prepare_time(time_data, True, normalize_per_time_point=normalize)
+    est_l = _prepare_time(time_data, False, normalize_per_time_point=normalize)
+    np.testing.assert_allclose(
+        np.asarray(est_f.nn_distances), np.asarray(est_l.nn_distances), rtol=1e-12
+    )
+    assert est_f.d == est_l.d
+    assert np.isclose(est_f.mu, est_l.mu, rtol=1e-12)
+    assert np.isclose(est_f.ls, est_l.ls, rtol=1e-12)
+    assert repr(est_f.cov_func) == repr(est_l.cov_func)
+    np.testing.assert_allclose(
+        np.asarray(est_f.landmarks), np.asarray(est_l.landmarks), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_f.Lp), np.asarray(est_l.Lp), rtol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(est_f.L), np.asarray(est_l.L), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(est_f.initial_value), np.asarray(est_l.initial_value), rtol=1e-8
+    )
+
+
+def test_fused_time_fit_predict_matches_lazy(time_data):
+    x, times = time_data
+    old = fused.ENABLED
+    try:
+        fused.ENABLED = True
+        d1 = mellon_tpu.TimeSensitiveDensityEstimator(
+            n_landmarks=40, ls_time=1.5
+        ).fit_predict(x, times)
+        fused.ENABLED = False
+        d2 = mellon_tpu.TimeSensitiveDensityEstimator(
+            n_landmarks=40, ls_time=1.5
+        ).fit_predict(x, times)
+    finally:
+        fused.ENABLED = old
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-8)
+
+
+def test_fused_time_declines_without_ls_time(time_data):
+    x, times = time_data
+    est = mellon_tpu.TimeSensitiveDensityEstimator(n_landmarks=40)
+    from mellon_tpu.utils.validation import validate_time_x
+
+    est.set_x(validate_time_x(x, times))
+    est._prepare_attribute("n_landmarks")
+    est._prepare_attribute("rank")
+    est._prepare_attribute("gp_type")
+    assert not fused.maybe_fused_time_prepare(est)
 
 
 def test_fused_prepare_nn_repair_warning(data, caplog):
