@@ -247,11 +247,10 @@ def _fused_time_prepare_program(
     states = x[:, :-1]
 
     # within-time 1-NN by one-hot group columns (bit-identical to a
-    # per-group search; see parameters.compute_nn_distances_within_time_points)
-    span2 = jnp.sum(jnp.square(jnp.max(states, axis=0) - jnp.min(states, axis=0)))
-    big = 16.0 * jnp.maximum(span2, 1.0)
-    onehot = jax.nn.one_hot(group, n_times, dtype=states.dtype)
-    x_aug = jnp.concatenate([states, jnp.sqrt(big / 2.0) * onehot], axis=1)
+    # per-group search; see parameters.within_time_augmented)
+    from ..parameters import within_time_augmented
+
+    x_aug = within_time_augmented(states, group, n_times)
     dists, _ = _knn_blocked(x_aug, x_aug, 2, knn_batch, DEFAULT_COL_BLOCK)
     nn_raw = dists[:, 1]
 

@@ -254,6 +254,25 @@ def _get_target_cell_count(normalize, time, av_cells_per_tp, unique_times):
 MAX_ONEHOT_TIME_GROUPS = 64
 
 
+def within_time_augmented(states, group, n_times):
+    """Single-search formulation of within-group kNN (TPU-first redesign of
+    the reference's per-time-point loop, ``mellon/parameters.py:444-531``):
+    append scaled one-hot group columns ``sqrt(BIG/2) * onehot(group)``.
+    Within a group the extra columns subtract to exactly 0, so within-group
+    distances are bit-identical to a per-group search; across groups
+    ||e_i - e_j||^2 = 2 adds exactly BIG, excluding the pair.  One blocked
+    kNN program over all n cells replaces T ragged-shaped searches (T
+    program loads).  One-hot (not a single ``group * C`` column) keeps the
+    norm inflation at the constant BIG/2 regardless of the group index, so
+    the f32 matmul-form candidate selection keeps its precision for every
+    time point.  Shared by the eager search below and the fused time
+    prepare (``models/fused.py``)."""
+    span2 = jnp.sum(jnp.square(jnp.max(states, axis=0) - jnp.min(states, axis=0)))
+    big = 16.0 * jnp.maximum(span2, 1.0)
+    onehot = jax.nn.one_hot(group, n_times, dtype=states.dtype)
+    return jnp.concatenate([states, jnp.sqrt(big / 2.0) * onehot], axis=1)
+
+
 def compute_nn_distances_within_time_points(x, times=None, d=None, normalize=False):
     """1-NN distances within each time-point group, with optional
     sampling-bias normalization (parity: ``mellon/parameters.py:444-531``)."""
@@ -295,26 +314,9 @@ def compute_nn_distances_within_time_points(x, times=None, d=None, normalize=Fal
             )
 
     if n_times <= MAX_ONEHOT_TIME_GROUPS:
-        # Single-search formulation (TPU-first redesign of the reference's
-        # per-time-point loop, ``mellon/parameters.py:444-531``): append
-        # scaled one-hot group columns ``sqrt(BIG/2) * onehot(group)``.
-        # Within a group the extra columns subtract to exactly 0, so
-        # within-group distances are bit-identical to a per-group search;
-        # across groups ||e_i - e_j||^2 = 2 adds exactly BIG, excluding the
-        # pair.  One blocked kNN program over all n cells replaces T
-        # ragged-shaped searches (T program loads).  One-hot (not a single
-        # ``group * C`` column) keeps the norm inflation at the constant
-        # BIG/2 regardless of the group index, so the f32 matmul-form
-        # candidate selection keeps its precision for every time point.
-        span2 = jnp.sum(
-            jnp.square(jnp.max(states, axis=0) - jnp.min(states, axis=0))
+        nn_distances = compute_nn_distances(
+            within_time_augmented(states, group, n_times)
         )
-        big = 16.0 * jnp.maximum(span2, 1.0)
-        onehot = jax.nn.one_hot(group, n_times, dtype=states.dtype)
-        x_aug = jnp.concatenate(
-            [states, jnp.sqrt(big / 2.0) * onehot], axis=1
-        )
-        nn_distances = compute_nn_distances(x_aug)
     else:
         # very many time points: the one-hot columns would dominate the
         # matmul cost, so fall back to per-group searches
