@@ -31,6 +31,20 @@ from .inference import conditionals as conditional
 from .inference import derivatives
 from .utils.util import set_verbosity
 
+# Register the legacy namespace aliases as importable module paths so
+# ``from mellon_tpu.util import distance`` works like the reference's
+# ``from mellon.util import distance`` (``mellon/_util.py`` etc.), not just
+# attribute access.
+for _name, _mod in (
+    ("util", util),
+    ("cov", cov),
+    ("model", model),
+    ("conditional", conditional),
+    ("validation", validation),
+    ("derivatives", derivatives),
+):
+    sys.modules[__name__ + "." + _name] = _mod
+
 logger = logging.getLogger("mellon_tpu")
 if not logger.handlers:
     _handler = logging.StreamHandler(sys.stdout)

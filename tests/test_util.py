@@ -252,6 +252,26 @@ def test_object_str_and_html():
     assert object_str("plain") == "plain"
 
 
+def test_legacy_namespace_module_imports():
+    """The reference exposes mellon.util/cov/... as real modules
+    (``mellon/_util.py`` etc.); our aliases must support the same
+    ``from mellon_tpu.util import ...`` import form, not just attributes."""
+    import importlib
+
+    for name, attr in (
+        ("mellon_tpu.util", "distance"),
+        ("mellon_tpu.cov", "Matern52"),
+        ("mellon_tpu.model", "DensityEstimator"),
+        ("mellon_tpu.conditional", "FullConditional"),
+        ("mellon_tpu.derivatives", "gradient"),
+        ("mellon_tpu.validation", "validate_array"),
+        ("mellon_tpu.parameters", "compute_ls"),
+        ("mellon_tpu.inference", "compute_conditional"),
+    ):
+        mod = importlib.import_module(name)
+        assert hasattr(mod, attr), f"{name}.{attr} missing"
+
+
 def test_set_verbosity_toggles_level():
     logger = logging.getLogger("mellon_tpu")
     original = logger.level
