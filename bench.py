@@ -71,9 +71,16 @@ def main():
     run_fit(x_warm)
     print(f"warmup fit: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    t0 = time.time()
-    run_fit(x)
-    elapsed = time.time() - t0
+    # median of 3 measured fits: the accelerator is reached through a relay
+    # whose per-call latency jitters; the median is robust to one hiccup
+    # without cherry-picking the best case
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        run_fit(x)
+        times.append(time.time() - t0)
+        print(f"measured fit {i}: {times[-1]:.3f}s", file=sys.stderr, flush=True)
+    elapsed = sorted(times)[1]
 
     result = {
         "metric": "density_fit_predict_8627_cells_warm_seconds",
