@@ -28,11 +28,35 @@ from jax.scipy.linalg import solve_triangular
 
 from ..ops.cluster import DEFAULT_ASSIGN_BLOCK, DEFAULT_N_ITER, _kmeanspp_init, _lloyd
 from ..ops.kernels import _SPEC_CORES, eval_operand_spec
-from ..ops.linalg import ridge_solve
+from ..ops.linalg import PIVOT_REL_TOL, _pivoted_cholesky, ridge_solve
 from ..ops.neighbors import DEFAULT_BATCH_SIZE, DEFAULT_COL_BLOCK, _knn_blocked
 from ..parameters import DEFAULT_RANDOM_SEED, KMEANS_SUBSAMPLE_THRESHOLD
 from ..utils.util import GaussianProcessType, mle
 from ..utils.validation import _nn_repair_impl, report_nn_repair
+
+# pivot-factor width inside the fused programs; ranks at or above this cap
+# fall back to the host-side iterative-doubling selection (rare)
+FUSED_PIVOT_CAP = 1024
+
+
+def _chol_attempt_with_pivot(K, jitter):
+    """Jittered Cholesky attempt plus — only when it fails (lax.cond) — the
+    diagonally-pivoted landmark selection, so the pruning path needs no
+    separate program dispatch and host fetch."""
+    diag = jnp.arange(K.shape[0])
+    Lp = jnp.linalg.cholesky(K.at[diag, diag].add(jitter))
+    ok = ~jnp.any(jnp.isnan(Lp))
+    cap = min(K.shape[0], FUSED_PIVOT_CAP)
+
+    def run_pivot():
+        piv, r, _ = _pivoted_cholesky(K, PIVOT_REL_TOL, cap)
+        return piv.astype(jnp.int32), jnp.asarray(r, dtype=jnp.int32)
+
+    def skip_pivot():
+        return jnp.zeros((cap,), dtype=jnp.int32), jnp.asarray(0, dtype=jnp.int32)
+
+    piv, r = jax.lax.cond(ok, skip_pivot, run_pivot)
+    return Lp, ok, piv, r
 
 logger = logging.getLogger("mellon_tpu")
 
@@ -74,11 +98,9 @@ def _fused_sparse_prepare_program(
 
     # landmark kernel + first Cholesky attempt (== _jittered_cholesky)
     K = eval_operand_spec(spec, (ls,), xu, xu)
-    diag = jnp.arange(K.shape[0])
-    Lp = jnp.linalg.cholesky(K.at[diag, diag].add(jitter))
-    ok = ~jnp.any(jnp.isnan(Lp))
+    Lp, ok, piv, r = _chol_attempt_with_pivot(K, jitter)
 
-    return nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok
+    return nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok, piv, r
 
 
 @partial(jax.jit, static_argnames=("spec", "d_int"))
@@ -172,7 +194,7 @@ def maybe_fused_sparse_prepare(est):
 
     spec = (tag, None, 1)
     key = jax.random.PRNGKey(int(random_state))
-    nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok = (
+    nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok, piv, r = (
         _fused_sparse_prepare_program(
             x,
             key,
@@ -186,9 +208,10 @@ def maybe_fused_sparse_prepare(est):
             int(min(DEFAULT_ASSIGN_BLOCK, n_sub if n_sub is not None else n)),
         )
     )
-    # ONE host transfer for every scalar the host logic needs
-    nan_c, inf_c, neg_c, all_bad, mu, ls, ok = jax.device_get(
-        (nan_c, inf_c, neg_c, all_bad, mu, ls, ok)
+    # ONE host transfer for every scalar the host logic needs (+ the pivot
+    # list, a few KB, computed in-program only when the Cholesky failed)
+    nan_c, inf_c, neg_c, all_bad, mu, ls, ok, piv, r = jax.device_get(
+        (nan_c, inf_c, neg_c, all_bad, mu, ls, ok, piv, r)
     )
     report_nn_repair(nan_c, inf_c, neg_c, all_bad)
 
@@ -200,7 +223,19 @@ def maybe_fused_sparse_prepare(est):
     logger.info("Using covariance function %s.", str(est.cov_func))
     est.landmarks = xu
     _finish_factorization(
-        est, x, xu, nn, float(mu), (float(ls),), K, Lp, bool(ok), spec, d_int, x64
+        est,
+        x,
+        xu,
+        nn,
+        float(mu),
+        (float(ls),),
+        K,
+        Lp,
+        bool(ok),
+        spec,
+        d_int,
+        x64,
+        pivot=(piv, int(r)),
     )
     return True
 
@@ -284,11 +319,9 @@ def _fused_time_prepare_program(
     xu = xu.at[:, -1].divide(time_factor)
 
     K = eval_operand_spec(spec, (ls, ls_time), xu, xu)
-    diag = jnp.arange(K.shape[0])
-    Lp = jnp.linalg.cholesky(K.at[diag, diag].add(jitter))
-    ok = ~jnp.any(jnp.isnan(Lp))
+    Lp, ok, piv, r = _chol_attempt_with_pivot(K, jitter)
 
-    return nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok
+    return nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok, piv, r
 
 
 def maybe_fused_time_prepare(est):
@@ -395,7 +428,7 @@ def maybe_fused_time_prepare(est):
     # product-kernel structure from a value-free template
     spec, _ = compute_cov_func(curry, 1.0, 1.0).operand_spec()
     key = jax.random.PRNGKey(int(random_state))
-    nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok = (
+    nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok, piv, r = (
         _fused_time_prepare_program(
             x,
             jnp.asarray(group, dtype=jnp.int32),
@@ -415,8 +448,8 @@ def maybe_fused_time_prepare(est):
             int(min(DEFAULT_ASSIGN_BLOCK, n_sub if n_sub is not None else n)),
         )
     )
-    nan_c, inf_c, neg_c, all_bad, mu, ls, ok = jax.device_get(
-        (nan_c, inf_c, neg_c, all_bad, mu, ls, ok)
+    nan_c, inf_c, neg_c, all_bad, mu, ls, ok, piv, r = jax.device_get(
+        (nan_c, inf_c, neg_c, all_bad, mu, ls, ok, piv, r)
     )
     report_nn_repair(nan_c, inf_c, neg_c, all_bad)
 
@@ -440,17 +473,27 @@ def maybe_fused_time_prepare(est):
         spec,
         d_int,
         x64,
+        pivot=(piv, int(r)),
     )
     return True
 
 
-def _finish_factorization(est, x, xu, nn, mu, params, K, Lp, ok, spec, d_int, x64):
+def _finish_factorization(
+    est, x, xu, nn, mu, params, K, Lp, ok, spec, d_int, x64, pivot=None
+):
     """Shared stage-2 tail of the fused prepares: accept the landmark
     Cholesky attempt (fusing TRSM + ridge warm start), or prune to the
     pivoted subset and run one submatrix program.  ``params`` is the
-    kernel-operand tuple matching ``spec``."""
+    kernel-operand tuple matching ``spec``; ``pivot`` is the (piv, r)
+    already computed inside the stage-1 program when the Cholesky failed
+    (None or r >= cap falls back to the host-side selection)."""
     from .base import SAMPLE_LANDMARK_RATIO
-    from ..ops.linalg import safe_cholesky, select_stable_landmarks
+    from ..ops.linalg import (
+        PIVOT_REL_TOL,
+        RANK_BUCKETS,
+        safe_cholesky,
+        select_stable_landmarks,
+    )
 
     n = x.shape[0]
     k = xu.shape[0]
@@ -474,9 +517,29 @@ def _finish_factorization(est, x, xu, nn, mu, params, K, Lp, ok, spec, d_int, x6
         est.Lp = safe_cholesky(K, jitter=est.jitter, max_tries=0)
         return
 
-    # f32 pruning path: pivoted-Cholesky landmark subset, then one program
-    # for submatrix Cholesky + TRSM + ridge warm start
-    piv = select_stable_landmarks(K, rel_tol=1e-6)
+    # f32 pruning path: pivoted-Cholesky landmark subset (already computed
+    # inside the stage-1 program unless the tolerance was not reached within
+    # the fused cap), then one program for submatrix Cholesky + TRSM +
+    # ridge warm start
+    cap = min(k, FUSED_PIVOT_CAP)
+    if pivot is not None and 0 < pivot[1] < cap:
+        piv_full, r = pivot
+        # quantization identical to select_stable_landmarks
+        buckets = [b for b in RANK_BUCKETS if b <= r]
+        if buckets:
+            r = buckets[-1]
+        logger.info(
+            "Pivoted Cholesky selected %d of %d landmarks "
+            "(relative tolerance %.0e).",
+            r,
+            k,
+            PIVOT_REL_TOL,
+        )
+        import numpy as np
+
+        piv = np.asarray(piv_full[:r])
+    else:
+        piv = select_stable_landmarks(K, rel_tol=PIVOT_REL_TOL)
     logger.warning(
         "Landmark kernel is singular at f32; pruning %d "
         "redundant landmarks (keeping %d).",

@@ -18,6 +18,9 @@ from ..utils.util import stabilize, DEFAULT_JITTER
 
 DEFAULT_RANK = 0.99
 DEFAULT_SIGMA = 0
+# relative diagonal tolerance of the pivoted partial Cholesky used for
+# landmark pruning (shared by select_stable_landmarks and the fused prepare)
+PIVOT_REL_TOL = 1e-6
 
 logger = logging.getLogger("mellon_tpu")
 
@@ -255,7 +258,7 @@ def _pivoted_cholesky(K, rel_tol, max_rank):
         d = jnp.maximum(d - jnp.square(l_col), 0.0)
         d = d.at[p].set(0.0)
         L = L.at[:, k].set(l_col)
-        piv = piv.at[k].set(p)
+        piv = piv.at[k].set(p.astype(piv.dtype))
         return k + 1, d, L, piv
 
     k0 = 0
@@ -268,7 +271,7 @@ def _pivoted_cholesky(K, rel_tol, max_rank):
 RANK_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 
-def select_stable_landmarks(K, rel_tol=1e-6, max_rank=None, quantize=True):
+def select_stable_landmarks(K, rel_tol=PIVOT_REL_TOL, max_rank=None, quantize=True):
     """Greedy landmark subset whose kernel submatrix is f32-factorizable.
 
     For wide kernels over thousands of landmarks, K_uu is numerically
