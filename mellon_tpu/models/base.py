@@ -5,6 +5,7 @@ Behavioural parity target: ``mellon/base_model.py`` (482 LoC).
 """
 
 import logging
+import math
 
 from ..inference.advi import run_advi
 from ..inference.laplace import compute_laplace_std
@@ -359,6 +360,36 @@ class BaseEstimator:
             loss_fn, loss_args = function, ()
         initial_value = self.initial_value
         optimizer = self.optimizer
+        fallback = getattr(self, "_fused_lp_fallback", None)
+        if fallback is not None and optimizer != "L-BFGS-B":
+            # the optimistic factorization is only loss-checked on the
+            # L-BFGS path; for any other optimizer verify it eagerly here
+            # (NaNs in Lp propagate into the warm start)
+            import jax.numpy as _jnp
+
+            self._fused_lp_fallback = None
+            if not bool(_jnp.all(_jnp.isfinite(initial_value))):
+                from ..ops.linalg import safe_cholesky
+
+                logger.warning(
+                    "Optimistic factorization was invalid; rebuilding with "
+                    "jitter escalation."
+                )
+                K, piv = fallback
+                self.Lp = safe_cholesky(
+                    K[piv][:, piv], jitter=self.jitter, max_tries=3
+                )
+                self.L = None
+                self.initial_value = None
+                self.transform = None
+                self.loss_func = None
+                for attr in ("L", "initial_value", "transform", "loss_func"):
+                    self._prepare_attribute(attr)
+                initial_value = self.initial_value
+                loss_fn = getattr(self, "_loss_fn", None)
+                loss_args = getattr(self, "_loss_args", ())
+                if loss_fn is None:
+                    loss_fn, loss_args = self.loss_func, ()
         logger.info("Running inference using %s.", optimizer)
         if optimizer == "adam":
             results = minimize_adam(
@@ -389,6 +420,30 @@ class BaseEstimator:
             results = minimize_lbfgsb(
                 loss_fn, initial_value, jit=self.jit, loss_args=loss_args
             )
+            fallback = getattr(self, "_fused_lp_fallback", None)
+            self._fused_lp_fallback = None  # release K either way
+            if fallback is not None and not math.isfinite(results.loss):
+                # the fused prepare factorized the pruned landmark kernel
+                # optimistically (no blocking validity fetch); a non-finite
+                # loss means that Cholesky needed jitter escalation after
+                # all — rebuild robustly and rerun
+                from ..ops.linalg import safe_cholesky
+
+                logger.warning(
+                    "Non-finite loss from optimistic factorization; "
+                    "rebuilding with jitter escalation and retrying."
+                )
+                K, piv = fallback
+                self.Lp = safe_cholesky(
+                    K[piv][:, piv], jitter=self.jitter, max_tries=3
+                )
+                self.L = None
+                self.initial_value = None
+                self.transform = None
+                self.loss_func = None
+                for attr in ("L", "initial_value", "transform", "loss_func"):
+                    self._prepare_attribute(attr)
+                return self._run_inference()
             self.pre_transformation = results.pre_transformation
             self.pre_transformation_std = None
             self.opt_state = results.opt_state

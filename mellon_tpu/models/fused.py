@@ -563,7 +563,17 @@ def _finish_factorization(
         d_int,
     )
     est.landmarks = xu_sel
-    if bool(ok2):
+    if est.optimizer == "L-BFGS-B":
+        # optimistic: the pivoted subset with jitter essentially always
+        # factors, so don't pay a blocking fetch for ok2 here — the
+        # optimizer's own loss fetch reveals a failure (non-finite loss),
+        # and _run_inference rebuilds from this fallback and retries
+        est.Lp = Lp2
+        est.L = L
+        est.initial_value = z0
+        est._fused_lp_fallback = (K, piv)
+        logger.info(f"Using rank {len(piv):,} covariance representation.")
+    elif bool(ok2):
         est.Lp = Lp2
         est.L = L
         est.initial_value = z0

@@ -224,6 +224,51 @@ def test_fused_time_declines_without_ls_time(time_data):
     assert not fused.maybe_fused_time_prepare(est)
 
 
+def test_optimistic_factorization_recovery(data):
+    """If the fused prune path's unverified Cholesky were bad (simulated by
+    corrupting Lp/L/initial_value with NaNs), _run_inference must rebuild
+    from the stored fallback and still converge."""
+    est = _prepare(data, True)
+    K = est.cov_func(est.landmarks, est.landmarks)
+    piv = np.arange(est.landmarks.shape[0])
+    good = mellon_tpu.DensityEstimator(n_landmarks=50).fit_predict(data)
+
+    # corrupt the factorization as if the optimistic Cholesky had failed
+    est.Lp = est.Lp * jnp.nan
+    est.L = est.L * jnp.nan
+    est.initial_value = est.initial_value * jnp.nan
+    est.transform = None
+    est.loss_func = None
+    est._prepare_attribute("transform")
+    est._prepare_attribute("loss_func")
+    est._fused_lp_fallback = (K, piv)
+    est.run_inference()
+    est.process_inference()
+    assert est._fused_lp_fallback is None
+    np.testing.assert_allclose(
+        np.asarray(est.log_density_x), np.asarray(good), rtol=1e-6
+    )
+
+
+def test_optimistic_fallback_checked_for_other_optimizers(data):
+    est = _prepare(data, True)
+    K = est.cov_func(est.landmarks, est.landmarks)
+    piv = np.arange(est.landmarks.shape[0])
+    est.Lp = est.Lp * jnp.nan
+    est.L = est.L * jnp.nan
+    est.initial_value = est.initial_value * jnp.nan
+    est.transform = None
+    est.loss_func = None
+    est._prepare_attribute("transform")
+    est._prepare_attribute("loss_func")
+    est._fused_lp_fallback = (K, piv)
+    est.optimizer = "adam"
+    est.n_iter = 30
+    est.run_inference()
+    assert est._fused_lp_fallback is None
+    assert np.isfinite(np.asarray(est.pre_transformation)).all()
+
+
 def test_fused_prepare_nn_repair_warning(data, caplog):
     import logging
 
