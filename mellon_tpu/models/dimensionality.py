@@ -255,6 +255,12 @@ class DimensionalityEstimator(BaseEstimator):
         self._prepare_attribute("rank")
         self._prepare_attribute("gp_type")
         self.validate_parameter()
+        # default sparse configuration: one fused program + one host fetch
+        # sets distances/nn_distances/d/mu_dens/ls/cov_func/landmarks/Lp
+        # (+ L/initial_value); customizations fall back to the lazy chain
+        from .fused import maybe_fused_dimensionality_prepare
+
+        maybe_fused_dimensionality_prepare(self)
         self._prepare_attribute("distances")
         self._prepare_attribute("nn_distances")
         self._prepare_attribute("d")

@@ -222,20 +222,18 @@ def maybe_fused_sparse_prepare(est):
     est.cov_func = curry(float(ls))
     logger.info("Using covariance function %s.", str(est.cov_func))
     est.landmarks = xu
+    params = (float(ls),)
+
+    def run_ok(xu_, Lp_):
+        return _fused_factorize_program(x, xu_, Lp_, nn, float(mu), params, spec, d_int)
+
+    def run_prune(piv_):
+        return _fused_prune_factorize_program(
+            K, piv_, x, xu, nn, float(mu), params, float(est.jitter), spec, d_int
+        )
+
     _finish_factorization(
-        est,
-        x,
-        xu,
-        nn,
-        float(mu),
-        (float(ls),),
-        K,
-        Lp,
-        bool(ok),
-        spec,
-        d_int,
-        x64,
-        pivot=(piv, int(r)),
+        est, x, xu, K, Lp, bool(ok), x64, run_ok, run_prune, pivot=(piv, int(r))
     )
     return True
 
@@ -322,6 +320,210 @@ def _fused_time_prepare_program(
     Lp, ok, piv, r = _chol_attempt_with_pivot(K, jitter)
 
     return nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok, piv, r
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "spec",
+        "k_landmarks",
+        "k_query",
+        "k_dim",
+        "n_sub",
+        "knn_batch",
+        "assign_block",
+    ),
+)
+def _fused_dim_prepare_program(
+    x,
+    key,
+    jitter,
+    ls_factor,
+    spec,
+    k_landmarks,
+    k_query,
+    k_dim,
+    n_sub,
+    knn_batch,
+    assign_block,
+):
+    """Fused preparation for the dimensionality model: ONE kNN search serves
+    both the k-NN distance matrix (likelihood) and the local-fractal-dimension
+    neighborhoods, then mu/ls heuristics, k-means landmarks, and the landmark
+    Cholesky attempt — one executable, one scalar fetch.
+
+    The lazy path performs two searches (k and 30 neighbors); a single
+    search at max(k+1, 30) sliced to each width returns identical neighbor
+    sets (top-k of a sorted larger search)."""
+    from ..ops.neighbors import local_dimensionality
+
+    jitter = jnp.asarray(jitter, dtype=x.dtype)
+    ls_factor = jnp.asarray(ls_factor, dtype=x.dtype)
+
+    kk = max(k_query + 1, k_dim)
+    dists, idx = _knn_blocked(x, x, kk, knn_batch, DEFAULT_COL_BLOCK)
+    distances = dists[:, 1 : k_query + 1]  # self excluded (== compute_distances)
+    nn = dists[:, 1]
+    # per-cell local fractal dimension (== local_dimensionality; the lazy
+    # path's own search includes the self neighbor, as idx[:, :k_dim] does)
+    d = local_dimensionality(x, k=k_dim, neighbor_idx=idx[:, :k_dim])
+
+    # heuristics: the dimensionality path applies no nn-distance repair
+    # (parity: its _compute_nn_distances returns distances[:, 0] directly)
+    mu_dens = jnp.quantile(mle(nn, d), 0.01) - 10
+    ls = jnp.exp(jnp.log(nn).mean() + 3.0) * ls_factor
+
+    x_fit = x
+    if n_sub is not None:
+        sub_idx = jax.random.choice(key, x.shape[0], shape=(n_sub,), replace=False)
+        x_fit = x[sub_idx]
+    init_centroids = _kmeanspp_init(x_fit, k_landmarks, key)
+    xu = _lloyd(x_fit, init_centroids, k_landmarks, DEFAULT_N_ITER, assign_block)
+
+    K = eval_operand_spec(spec, (ls,), xu, xu)
+    Lp, ok, piv, r = _chol_attempt_with_pivot(K, jitter)
+
+    return distances, d, mu_dens, ls, xu, K, Lp, ok, piv, r
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _fused_dim_factorize_program(x, xu, Lp, distances, d, mu_dim, mu_dens, params, spec):
+    """Dimensionality stage 2: TRSM + the stacked (log-dim, log-density)
+    ridge warm starts (== compute_initial_dimensionalities)."""
+    C = eval_operand_spec(spec, params, x, xu)
+    L = solve_triangular(Lp, C.T, lower=True).T
+    nn = distances[:, 0]
+    z_dim = ridge_solve(L, jnp.log(d) - mu_dim, 1.0)
+    z_dens = ridge_solve(L, mle(nn, d) - mu_dens, 1.0)
+    return L, jnp.stack([z_dim, z_dens])
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _fused_dim_prune_factorize_program(
+    K, piv, x, xu, distances, d, mu_dim, mu_dens, params, jitter, spec
+):
+    """Dimensionality stage 2 for the pruning path."""
+    jitter = jnp.asarray(jitter, dtype=K.dtype)
+    K_sub = K[piv][:, piv]
+    diag = jnp.arange(K_sub.shape[0])
+    Lp = jnp.linalg.cholesky(K_sub.at[diag, diag].add(jitter))
+    ok = ~jnp.any(jnp.isnan(Lp))
+    xu_sel = xu[piv]
+    C = eval_operand_spec(spec, params, x, xu_sel)
+    L = solve_triangular(Lp, C.T, lower=True).T
+    nn = distances[:, 0]
+    z_dim = ridge_solve(L, jnp.log(d) - mu_dim, 1.0)
+    z_dens = ridge_solve(L, mle(nn, d) - mu_dens, 1.0)
+    return Lp, xu_sel, L, jnp.stack([z_dim, z_dens]), ok
+
+
+def maybe_fused_dimensionality_prepare(est):
+    """Fused prepare for DimensionalityEstimator in its default sparse
+    configuration.  Returns True when applied."""
+    curry = est.cov_func_curry
+    tag = getattr(curry, "_spec_tag", None)
+    if not (
+        ENABLED
+        and est.distances is None
+        and est.nn_distances is None
+        and est.d is None
+        and est.mu_dens is None
+        and est.ls is None
+        and est.cov_func is None
+        and est.landmarks is None
+        and est.Lp is None
+        and est.L is None
+        and est.initial_value is None
+        and est.gp_type == GaussianProcessType.SPARSE_CHOLESKY
+        and tag in _SPEC_CORES
+        and tuple(getattr(curry, "_spec_params", ())) == ("ls",)
+    ):
+        return False
+
+    x = est.x
+    n = x.shape[0]
+    k = int(est.n_landmarks)
+    k_query = int(est.k)
+    k_dim = min(30, n)
+    if not 1 < k < n or k_query + 1 >= n or n < 31:
+        return False  # tiny inputs: lazy path's validation/warnings apply
+    x64 = x.dtype == jnp.float64
+
+    logger.info("Computing distances.")
+    if n > 100 * k and n > 1e6:
+        logger.info(
+            f"Large number of {n:,} cells and "
+            f"small number of {k:,} landmarks. Consider "
+            "computing k-means on a subset of cells and passing "
+            "the results as 'landmarks' to speed up the process."
+        )
+    threshold = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * k)
+    n_sub = threshold if n > threshold else None
+    if n_sub is not None:
+        logger.info(
+            f"Running k-means on a uniform subsample of {n_sub:,} of "
+            f"{n:,} cells (quantization quality is insensitive to this)."
+        )
+    random_state = (
+        est.random_state if est.random_state is not None else DEFAULT_RANDOM_SEED
+    )
+    logger.info(
+        f"Computing {k:,} landmarks with k-means clustering "
+        f"(random_state={random_state})."
+    )
+
+    spec = (tag, None, 1)
+    key = jax.random.PRNGKey(int(random_state))
+    distances, d, mu_dens, ls, xu, K, Lp, ok, piv, r = _fused_dim_prepare_program(
+        x,
+        key,
+        float(est.jitter),
+        float(est.ls_factor),
+        spec,
+        k,
+        k_query,
+        k_dim,
+        n_sub,
+        int(min(DEFAULT_BATCH_SIZE, n)),
+        int(min(DEFAULT_ASSIGN_BLOCK, n_sub if n_sub is not None else n)),
+    )
+    mu_dens, ls, ok, piv, r = jax.device_get((mu_dens, ls, ok, piv, r))
+
+    est.distances = distances
+    est.nn_distances = distances[:, 0]
+    est.d = d
+    est.mu_dens = float(mu_dens)
+    est.ls = float(ls)
+    est.cov_func = curry(float(ls))
+    logger.info("Using covariance function %s.", str(est.cov_func))
+    est.landmarks = xu
+    params = (float(ls),)
+    mu_dim = float(est.mu_dim)
+
+    def run_ok(xu_, Lp_):
+        return _fused_dim_factorize_program(
+            x, xu_, Lp_, distances, d, mu_dim, float(mu_dens), params, spec
+        )
+
+    def run_prune(piv_):
+        return _fused_dim_prune_factorize_program(
+            K,
+            piv_,
+            x,
+            xu,
+            distances,
+            d,
+            mu_dim,
+            float(mu_dens),
+            params,
+            float(est.jitter),
+            spec,
+        )
+
+    _finish_factorization(
+        est, x, xu, K, Lp, bool(ok), x64, run_ok, run_prune, pivot=(piv, int(r))
+    )
+    return True
 
 
 def maybe_fused_time_prepare(est):
@@ -460,33 +662,30 @@ def maybe_fused_time_prepare(est):
     est.cov_func = compute_cov_func(curry, float(ls), float(est.ls_time))
     logger.info("Using covariance function %s.", str(est.cov_func))
     est.landmarks = xu
+    params = (float(ls), float(est.ls_time))
+
+    def run_ok(xu_, Lp_):
+        return _fused_factorize_program(x, xu_, Lp_, nn, float(mu), params, spec, d_int)
+
+    def run_prune(piv_):
+        return _fused_prune_factorize_program(
+            K, piv_, x, xu, nn, float(mu), params, float(est.jitter), spec, d_int
+        )
+
     _finish_factorization(
-        est,
-        x,
-        xu,
-        nn,
-        float(mu),
-        (float(ls), float(est.ls_time)),
-        K,
-        Lp,
-        bool(ok),
-        spec,
-        d_int,
-        x64,
-        pivot=(piv, int(r)),
+        est, x, xu, K, Lp, bool(ok), x64, run_ok, run_prune, pivot=(piv, int(r))
     )
     return True
 
 
-def _finish_factorization(
-    est, x, xu, nn, mu, params, K, Lp, ok, spec, d_int, x64, pivot=None
-):
+def _finish_factorization(est, x, xu, K, Lp, ok, x64, run_ok, run_prune, pivot=None):
     """Shared stage-2 tail of the fused prepares: accept the landmark
-    Cholesky attempt (fusing TRSM + ridge warm start), or prune to the
-    pivoted subset and run one submatrix program.  ``params`` is the
-    kernel-operand tuple matching ``spec``; ``pivot`` is the (piv, r)
-    already computed inside the stage-1 program when the Cholesky failed
-    (None or r >= cap falls back to the host-side selection)."""
+    Cholesky attempt, or prune to the pivoted subset and run one submatrix
+    program.  ``run_ok(xu, Lp) -> (L, z0)`` and ``run_prune(piv) ->
+    (Lp, xu_sel, L, z0, ok)`` are the model-specific factorization
+    programs; ``pivot`` is the (piv, r) already computed inside the stage-1
+    program when the Cholesky failed (None or r >= cap falls back to the
+    host-side selection)."""
     from .base import SAMPLE_LANDMARK_RATIO
     from ..ops.linalg import (
         PIVOT_REL_TOL,
@@ -506,7 +705,7 @@ def _finish_factorization(
             # leave L/initial_value to the lazy path so the documented
             # rank-estimation diagnostics run unchanged
             return
-        L, z0 = _fused_factorize_program(x, xu, Lp, nn, mu, params, spec, d_int)
+        L, z0 = run_ok(xu, Lp)
         est.L = L
         est.initial_value = z0
         logger.info(f"Using rank {k:,} covariance representation.")
@@ -550,18 +749,7 @@ def _finish_factorization(
     if est.check_rank is None:
         # rank is known by construction; skip the SVD check
         est.check_rank = False
-    Lp2, xu_sel, L, z0, ok2 = _fused_prune_factorize_program(
-        K,
-        jnp.asarray(piv, dtype=jnp.int32),
-        x,
-        xu,
-        nn,
-        mu,
-        params,
-        float(est.jitter),
-        spec,
-        d_int,
-    )
+    Lp2, xu_sel, L, z0, ok2 = run_prune(jnp.asarray(piv, dtype=jnp.int32))
     est.landmarks = xu_sel
     if est.optimizer == "L-BFGS-B":
         # optimistic: the pivoted subset with jitter essentially always

@@ -269,6 +269,53 @@ def test_optimistic_fallback_checked_for_other_optimizers(data):
     assert np.isfinite(np.asarray(est.pre_transformation)).all()
 
 
+def test_fused_dimensionality_prepare_matches_lazy(data):
+    def prep(use_fused):
+        old = fused.ENABLED
+        fused.ENABLED = use_fused
+        try:
+            est = mellon_tpu.DimensionalityEstimator(n_landmarks=50)
+            est.prepare_inference(data)
+        finally:
+            fused.ENABLED = old
+        return est
+
+    est_f, est_l = prep(True), prep(False)
+    np.testing.assert_allclose(
+        np.asarray(est_f.distances), np.asarray(est_l.distances), rtol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(est_f.d), np.asarray(est_l.d), rtol=1e-12)
+    assert np.isclose(est_f.mu_dens, est_l.mu_dens, rtol=1e-12)
+    assert np.isclose(est_f.ls, est_l.ls, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(est_f.landmarks), np.asarray(est_l.landmarks), rtol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(est_f.Lp), np.asarray(est_l.Lp), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(est_f.L), np.asarray(est_l.L), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(est_f.initial_value),
+        np.asarray(est_l.initial_value),
+        rtol=1e-8,
+    )
+
+
+def test_fused_dimensionality_fit_matches_lazy(data):
+    old = fused.ENABLED
+    try:
+        fused.ENABLED = True
+        e1 = mellon_tpu.DimensionalityEstimator(n_landmarks=50).fit(data)
+        fused.ENABLED = False
+        e2 = mellon_tpu.DimensionalityEstimator(n_landmarks=50).fit(data)
+    finally:
+        fused.ENABLED = old
+    np.testing.assert_allclose(
+        np.asarray(e1.local_dim_x), np.asarray(e2.local_dim_x), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(e1.log_density_x), np.asarray(e2.log_density_x), rtol=1e-6
+    )
+
+
 def test_fused_prepare_nn_repair_warning(data, caplog):
     import logging
 
