@@ -118,6 +118,11 @@ class FunctionEstimator(BaseEstimator):
         x = self.set_x(x)
         self._prepare_attribute("n_landmarks")
         self._prepare_attribute("gp_type")
+        # default sparse configuration: one fused program + one host fetch
+        # sets nn_distances/ls/cov_func/landmarks together
+        from .fused import maybe_fused_function_prepare
+
+        maybe_fused_function_prepare(self)
         if self.ls is None and self.cov_func is None:
             self._prepare_attribute("nn_distances")
         self._prepare_attribute("ls")

@@ -417,6 +417,98 @@ def _fused_dim_prune_factorize_program(
     return Lp, xu_sel, L, jnp.stack([z_dim, z_dens]), ok
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k_landmarks", "n_sub", "knn_batch", "assign_block"),
+)
+def _fused_function_prepare_program(
+    x, key, ls_factor, k_landmarks, n_sub, knn_batch, assign_block
+):
+    """Fused preparation for the function estimator: kNN -> repair -> ls ->
+    k-means landmarks (no optimizer and no landmark factorization exist on
+    this path — the conditional handles its own solves with sigma)."""
+    ls_factor = jnp.asarray(ls_factor, dtype=x.dtype)
+    dists, _ = _knn_blocked(x, x, 2, knn_batch, DEFAULT_COL_BLOCK)
+    nn, nan_c, inf_c, neg_c, all_bad = _nn_repair_impl(dists[:, 1])
+    ls = jnp.exp(jnp.log(nn).mean() + 3.0) * ls_factor
+    x_fit = x
+    if n_sub is not None:
+        idx = jax.random.choice(key, x.shape[0], shape=(n_sub,), replace=False)
+        x_fit = x[idx]
+    init_centroids = _kmeanspp_init(x_fit, k_landmarks, key)
+    xu = _lloyd(x_fit, init_centroids, k_landmarks, DEFAULT_N_ITER, assign_block)
+    return nn, nan_c, inf_c, neg_c, all_bad, ls, xu
+
+
+def maybe_fused_function_prepare(est):
+    """Fused prepare for FunctionEstimator in its default sparse
+    configuration.  Returns True when applied."""
+    curry = est.cov_func_curry
+    tag = getattr(curry, "_spec_tag", None)
+    if not (
+        ENABLED
+        and est.nn_distances is None
+        and est.ls is None
+        and est.cov_func is None
+        and est.landmarks is None
+        and est.gp_type == GaussianProcessType.SPARSE_CHOLESKY
+        and tag in _SPEC_CORES
+        and tuple(getattr(curry, "_spec_params", ())) == ("ls",)
+    ):
+        return False
+
+    x = est.x
+    n = x.shape[0]
+    k = int(est.n_landmarks)
+    if not 1 < k < n:
+        return False
+
+    logger.info("Computing nearest neighbor distances.")
+    threshold = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * k)
+    n_sub = threshold if n > threshold else None
+    if n > 100 * k and n > 1e6:
+        logger.info(
+            f"Large number of {n:,} cells and "
+            f"small number of {k:,} landmarks. Consider "
+            "computing k-means on a subset of cells and passing "
+            "the results as 'landmarks' to speed up the process."
+        )
+    if n_sub is not None:
+        logger.info(
+            f"Running k-means on a uniform subsample of {n_sub:,} of "
+            f"{n:,} cells (quantization quality is insensitive to this)."
+        )
+    random_state = (
+        est.random_state if est.random_state is not None else DEFAULT_RANDOM_SEED
+    )
+    logger.info(
+        f"Computing {k:,} landmarks with k-means clustering "
+        f"(random_state={random_state})."
+    )
+
+    key = jax.random.PRNGKey(int(random_state))
+    nn, nan_c, inf_c, neg_c, all_bad, ls, xu = _fused_function_prepare_program(
+        x,
+        key,
+        float(est.ls_factor),
+        k,
+        n_sub,
+        int(min(DEFAULT_BATCH_SIZE, n)),
+        int(min(DEFAULT_ASSIGN_BLOCK, n_sub if n_sub is not None else n)),
+    )
+    nan_c, inf_c, neg_c, all_bad, ls = jax.device_get(
+        (nan_c, inf_c, neg_c, all_bad, ls)
+    )
+    report_nn_repair(nan_c, inf_c, neg_c, all_bad)
+
+    est.nn_distances = nn
+    est.ls = float(ls)
+    est.cov_func = curry(float(ls))
+    logger.info("Using covariance function %s.", str(est.cov_func))
+    est.landmarks = xu
+    return True
+
+
 def maybe_fused_dimensionality_prepare(est):
     """Fused prepare for DimensionalityEstimator in its default sparse
     configuration.  Returns True when applied."""

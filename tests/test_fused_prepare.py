@@ -316,6 +316,34 @@ def test_fused_dimensionality_fit_matches_lazy(data):
     )
 
 
+def test_fused_function_prepare_matches_lazy(data):
+    y = jnp.sin(data[:, 0]) + 0.1 * data[:, 1]
+
+    def prep(use_fused):
+        old = fused.ENABLED
+        fused.ENABLED = use_fused
+        try:
+            est = mellon_tpu.FunctionEstimator(n_landmarks=50, sigma=0.1)
+            est.fit(data, y)
+        finally:
+            fused.ENABLED = old
+        return est
+
+    est_f, est_l = prep(True), prep(False)
+    np.testing.assert_array_equal(
+        np.asarray(est_f.nn_distances), np.asarray(est_l.nn_distances)
+    )
+    assert est_f.ls == est_l.ls
+    np.testing.assert_array_equal(
+        np.asarray(est_f.landmarks), np.asarray(est_l.landmarks)
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_f.predict(data[:20])),
+        np.asarray(est_l.predict(data[:20])),
+        rtol=1e-12,
+    )
+
+
 def test_fused_prepare_nn_repair_warning(data, caplog):
     import logging
 
