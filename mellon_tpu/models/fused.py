@@ -1,22 +1,29 @@
-"""Fused one-program preparation for the default sparse density fit.
+"""Fused one-program preparation for the default sparse fits (all four
+estimator families).
 
 The lazy attribute protocol (``_prepare_attribute``, parity with
 ``mellon/base_model.py:433-446``) computes nn-distances, heuristics,
 landmarks, and the landmark Cholesky as separate device programs with a
 host synchronization between each — every ``float()``/``bool()`` fetch is a
 blocking round trip, and on remote-attached accelerators those round trips
-dominate the warm fit.  This module compiles the whole default pipeline
+dominate the warm fit.  This module compiles each model's whole default
+pipeline
 
-    kNN -> nn repair -> mu/ls heuristics -> (subsample) -> k-means++
-    -> Lloyd -> landmark kernel -> Cholesky attempt
+    kNN -> nn repair -> heuristics (mu/ls; local fractal dim for the
+    dimensionality model; within-time search + normalization for the
+    time-sensitive model) -> (subsample) -> k-means++ -> Lloyd
+    -> landmark kernel -> Cholesky attempt (+ in-program pivot selection)
 
-into ONE executable with ONE scalar fetch at the end.  It produces
-bit-identical attributes to the lazy path (same underlying kernels, same
-PRNG key discipline), so it is applied transparently by
-``DensityEstimator.prepare_inference`` whenever the estimator is in its
-default configuration; any customization (precomputed attributes, fractal
-d, custom kernels without an operand spec, non-sparse GP types) falls back
-to the lazy path unchanged.
+into ONE executable with ONE scalar fetch, and the follow-up factorization
+(prune Cholesky + TRSM + ridge warm start) into a second program whose
+validity is checked through the optimizer's own loss fetch (optimistic on
+the default L-BFGS path).  Every fused prepare produces bit-identical
+attributes to the lazy path (same underlying kernels, same PRNG key
+discipline) — tested in ``tests/test_fused_prepare.py`` — and is applied
+transparently by the estimators' ``prepare_inference``; any customization
+(precomputed attributes, fractal d, custom kernels without an operand
+spec, non-sparse GP types, computed ls_time) falls back to the lazy path
+unchanged.
 """
 
 import logging

@@ -148,6 +148,19 @@ def test_reuse_precomputed_attributes(data, fitted):
     )
 
 
+def test_fixed_gp_type_with_explicit_landmarks(data):
+    """gp_type='fixed' conditions on the provided landmarks as-is
+    (parity: ``mellon/util.py:589-667`` FIXED semantics)."""
+    import jax
+
+    lm = jax.random.normal(jax.random.PRNGKey(5), (40, data.shape[1]))
+    est = DensityEstimator(gp_type="fixed", landmarks=lm)
+    ld = est.fit_predict(data)
+    assert est.n_landmarks == 40
+    assert np.isfinite(np.asarray(ld)).all()
+    np.testing.assert_array_equal(np.asarray(est.landmarks), np.asarray(lm))
+
+
 def test_error_paths(data):
     est = DensityEstimator()
     with pytest.raises(ValueError):
