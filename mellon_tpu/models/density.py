@@ -265,8 +265,14 @@ class DensityEstimator(BaseEstimator):
 
     def fit(self, x=None, build_predict=True):
         """End-to-end training (parity: ``mellon/density_estimator.py:494-516``)."""
-        self.prepare_inference(x)
-        self.run_inference()
+        # run_inference is guaranteed to follow prepare here, so the fused
+        # prepare may defer factorization validity to the optimizer's loss
+        self._in_fit = True
+        try:
+            self.prepare_inference(x)
+            self.run_inference()
+        finally:
+            self._in_fit = False
         self.process_inference(build_predict=build_predict)
         return self
 

@@ -295,8 +295,14 @@ class DimensionalityEstimator(BaseEstimator):
         return self.local_dim_x, self.log_density_x
 
     def fit(self, x=None, build_predict=True):
-        self.prepare_inference(x)
-        self.run_inference()
+        # run_inference is guaranteed to follow prepare here, so the fused
+        # prepare may defer factorization validity to the optimizer's loss
+        self._in_fit = True
+        try:
+            self.prepare_inference(x)
+            self.run_inference()
+        finally:
+            self._in_fit = False
         self.process_inference(build_predict=build_predict)
         return self
 

@@ -46,6 +46,44 @@ from ..utils.validation import _nn_repair_impl, report_nn_repair
 FUSED_PIVOT_CAP = 1024
 
 
+def _cpu_ivf_applies(n):
+    """True when the lazy kNN path would auto-select cluster-pruned (IVF)
+    search — CPU backend above IVF_THRESHOLD — in which case the fused
+    O(n^2) sweep must decline so the lazy path keeps its 44x advantage."""
+    from ..ops.neighbors import IVF_THRESHOLD
+
+    return n > IVF_THRESHOLD and jax.default_backend() == "cpu"
+
+
+def _landmark_preamble(est, n, k):
+    """Shared host-side landmark bookkeeping: the large-n advisory, the
+    uniform-subsample decision + log, the k-means log, and the resolved
+    random_state.  Byte-identical to the lazy path's messages
+    (``compute_landmarks`` / ``BaseEstimator._compute_landmarks``)."""
+    if n > 100 * k and n > 1e6:
+        logger.info(
+            f"Large number of {n:,} cells and "
+            f"small number of {k:,} landmarks. Consider "
+            "computing k-means on a subset of cells and passing "
+            "the results as 'landmarks' to speed up the process."
+        )
+    threshold = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * k)
+    n_sub = threshold if n > threshold else None
+    if n_sub is not None:
+        logger.info(
+            f"Running k-means on a uniform subsample of {n_sub:,} of "
+            f"{n:,} cells (quantization quality is insensitive to this)."
+        )
+    random_state = (
+        est.random_state if est.random_state is not None else DEFAULT_RANDOM_SEED
+    )
+    logger.info(
+        f"Computing {k:,} landmarks with k-means clustering "
+        f"(random_state={random_state})."
+    )
+    return n_sub, random_state
+
+
 def _chol_attempt_with_pivot(K, jitter):
     """Jittered Cholesky attempt plus — only when it fails (lax.cond) — the
     diagonally-pivoted landmark selection, so the pruning path needs no
@@ -155,6 +193,7 @@ def maybe_fused_sparse_prepare(est):
         and est.landmarks is None
         and est.Lp is None
         and est.L is None
+        and est.initial_value is None
         and est.d is None
         and getattr(est, "d_method", None) == "embedding"
         and est.gp_type == GaussianProcessType.SPARSE_CHOLESKY
@@ -167,6 +206,8 @@ def maybe_fused_sparse_prepare(est):
     n, d_int = x.shape
     if d_int > 50:
         return False  # the lazy path raises the documented d>50 error
+    if _cpu_ivf_applies(n):
+        return False  # the lazy kNN auto-selects IVF at this scale on CPU
     k = int(est.n_landmarks)
     if not 1 < k < n:
         return False
@@ -177,27 +218,7 @@ def maybe_fused_sparse_prepare(est):
         f"Using embedding dimensionality d={d_int}. "
         'Use d_method="fractal" to enable effective density normalization.'
     )
-    if n > 100 * k and n > 1e6:
-        logger.info(
-            f"Large number of {n:,} cells and "
-            f"small number of {k:,} landmarks. Consider "
-            "computing k-means on a subset of cells and passing "
-            "the results as 'landmarks' to speed up the process."
-        )
-    threshold = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * k)
-    n_sub = threshold if n > threshold else None
-    if n_sub is not None:
-        logger.info(
-            f"Running k-means on a uniform subsample of {n_sub:,} of "
-            f"{n:,} cells (quantization quality is insensitive to this)."
-        )
-    random_state = (
-        est.random_state if est.random_state is not None else DEFAULT_RANDOM_SEED
-    )
-    logger.info(
-        f"Computing {k:,} landmarks with k-means clustering "
-        f"(random_state={random_state})."
-    )
+    n_sub, random_state = _landmark_preamble(est, n, k)
 
     spec = (tag, None, 1)
     key = jax.random.PRNGKey(int(random_state))
@@ -466,32 +487,14 @@ def maybe_fused_function_prepare(est):
 
     x = est.x
     n = x.shape[0]
+    if _cpu_ivf_applies(n):
+        return False  # the lazy kNN auto-selects IVF at this scale on CPU
     k = int(est.n_landmarks)
     if not 1 < k < n:
         return False
 
     logger.info("Computing nearest neighbor distances.")
-    threshold = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * k)
-    n_sub = threshold if n > threshold else None
-    if n > 100 * k and n > 1e6:
-        logger.info(
-            f"Large number of {n:,} cells and "
-            f"small number of {k:,} landmarks. Consider "
-            "computing k-means on a subset of cells and passing "
-            "the results as 'landmarks' to speed up the process."
-        )
-    if n_sub is not None:
-        logger.info(
-            f"Running k-means on a uniform subsample of {n_sub:,} of "
-            f"{n:,} cells (quantization quality is insensitive to this)."
-        )
-    random_state = (
-        est.random_state if est.random_state is not None else DEFAULT_RANDOM_SEED
-    )
-    logger.info(
-        f"Computing {k:,} landmarks with k-means clustering "
-        f"(random_state={random_state})."
-    )
+    n_sub, random_state = _landmark_preamble(est, n, k)
 
     key = jax.random.PRNGKey(int(random_state))
     nn, nan_c, inf_c, neg_c, all_bad, ls, xu = _fused_function_prepare_program(
@@ -541,35 +544,17 @@ def maybe_fused_dimensionality_prepare(est):
 
     x = est.x
     n = x.shape[0]
+    if _cpu_ivf_applies(n):
+        return False  # the lazy kNN auto-selects IVF at this scale on CPU
     k = int(est.n_landmarks)
     k_query = int(est.k)
-    k_dim = min(30, n)
+    k_dim = 30
     if not 1 < k < n or k_query + 1 >= n or n < 31:
         return False  # tiny inputs: lazy path's validation/warnings apply
     x64 = x.dtype == jnp.float64
 
     logger.info("Computing distances.")
-    if n > 100 * k and n > 1e6:
-        logger.info(
-            f"Large number of {n:,} cells and "
-            f"small number of {k:,} landmarks. Consider "
-            "computing k-means on a subset of cells and passing "
-            "the results as 'landmarks' to speed up the process."
-        )
-    threshold = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * k)
-    n_sub = threshold if n > threshold else None
-    if n_sub is not None:
-        logger.info(
-            f"Running k-means on a uniform subsample of {n_sub:,} of "
-            f"{n:,} cells (quantization quality is insensitive to this)."
-        )
-    random_state = (
-        est.random_state if est.random_state is not None else DEFAULT_RANDOM_SEED
-    )
-    logger.info(
-        f"Computing {k:,} landmarks with k-means clustering "
-        f"(random_state={random_state})."
-    )
+    n_sub, random_state = _landmark_preamble(est, n, k)
 
     spec = (tag, None, 1)
     key = jax.random.PRNGKey(int(random_state))
@@ -641,6 +626,7 @@ def maybe_fused_time_prepare(est):
         and est.landmarks is None
         and est.Lp is None
         and est.L is None
+        and est.initial_value is None
         and est.d is None
         and getattr(est, "d_method", None) == "embedding"
         and est.gp_type == GaussianProcessType.SPARSE_CHOLESKY
@@ -662,6 +648,8 @@ def maybe_fused_time_prepare(est):
     d_int = x.shape[1] - 1
     if d_int > 50:
         return False  # the lazy path raises the documented d>50 error
+    if _cpu_ivf_applies(n):
+        return False  # the lazy kNN auto-selects IVF at this scale on CPU
     k = int(est.n_landmarks)
     if not 1 < k < n:
         return False
@@ -704,27 +692,7 @@ def maybe_fused_time_prepare(est):
     )
     if do_normalize:
         logger.info("Computing non-normalized nn_distances for length scale heuristic.")
-    if n > 100 * k and n > 1e6:
-        logger.info(
-            f"Large number of {n:,} cells and "
-            f"small number of {k:,} landmarks. Consider "
-            "computing k-means on a subset of cells and passing "
-            "the results as 'landmarks' to speed up the process."
-        )
-    threshold = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * k)
-    n_sub = threshold if n > threshold else None
-    if n_sub is not None:
-        logger.info(
-            f"Running k-means on a uniform subsample of {n_sub:,} of "
-            f"{n:,} cells (quantization quality is insensitive to this)."
-        )
-    random_state = (
-        est.random_state if est.random_state is not None else DEFAULT_RANDOM_SEED
-    )
-    logger.info(
-        f"Computing {k:,} landmarks with k-means clustering "
-        f"(random_state={random_state})."
-    )
+    n_sub, random_state = _landmark_preamble(est, n, k)
 
     # product-kernel structure from a value-free template
     spec, _ = compute_cov_func(curry, 1.0, 1.0).operand_spec()
@@ -850,11 +818,22 @@ def _finish_factorization(est, x, xu, K, Lp, ok, x64, run_ok, run_prune, pivot=N
         est.check_rank = False
     Lp2, xu_sel, L, z0, ok2 = run_prune(jnp.asarray(piv, dtype=jnp.int32))
     est.landmarks = xu_sel
-    if est.optimizer == "L-BFGS-B":
-        # optimistic: the pivoted subset with jitter essentially always
-        # factors, so don't pay a blocking fetch for ok2 here — the
+    if bool(est.check_rank):
+        # an explicitly requested rank diagnostic must run in _compute_L:
+        # set only the (validated) Cholesky and leave L/initial_value lazy
+        if bool(ok2):
+            est.Lp = Lp2
+        else:
+            est.Lp = safe_cholesky(K[piv][:, piv], jitter=est.jitter, max_tries=3)
+        return
+    if est.optimizer == "L-BFGS-B" and getattr(est, "_in_fit", False):
+        # optimistic (only inside fit/fit_predict, where run_inference is
+        # guaranteed to follow): the pivoted subset with jitter essentially
+        # always factors, so don't pay a blocking fetch for ok2 here — the
         # optimizer's own loss fetch reveals a failure (non-finite loss),
-        # and _run_inference rebuilds from this fallback and retries
+        # and _run_inference rebuilds from this fallback and retries.  A
+        # bare prepare_inference() call validates eagerly below instead, so
+        # externally driven workflows never see unverified NaNs.
         est.Lp = Lp2
         est.L = L
         est.initial_value = z0

@@ -391,8 +391,14 @@ class TimeSensitiveDensityEstimator(BaseEstimator):
         return self.log_density_x
 
     def fit(self, x=None, times=None, build_predict=True):
-        self.prepare_inference(x, times)
-        self.run_inference()
+        # run_inference is guaranteed to follow prepare here, so the fused
+        # prepare may defer factorization validity to the optimizer's loss
+        self._in_fit = True
+        try:
+            self.prepare_inference(x, times)
+            self.run_inference()
+        finally:
+            self._in_fit = False
         self.process_inference(build_predict=build_predict)
         return self
 

@@ -344,6 +344,82 @@ def test_fused_function_prepare_matches_lazy(data):
     )
 
 
+def test_user_initial_value_is_not_clobbered(data):
+    """A user-supplied initial_value must survive prepare_inference (the
+    fused path declines; the lazy chain skips non-None attributes)."""
+    z0 = jnp.zeros(50)
+    est = mellon_tpu.DensityEstimator(n_landmarks=50, initial_value=z0)
+    est.prepare_inference(data)
+    assert est.initial_value is z0
+
+
+def test_check_rank_true_runs_diagnostic_on_prune_path(data, caplog):
+    """An explicit check_rank=True must run the rank diagnostic even when
+    the f32 prune path sets the factorization (finding: the fused prune
+    path previously set L directly, silently skipping test_rank)."""
+    import logging
+
+    from mellon_tpu.models.fused import _finish_factorization
+    from mellon_tpu.ops.kernels import Matern52
+    from mellon_tpu.models import fused as fused_mod
+
+    est = mellon_tpu.DensityEstimator(n_landmarks=50, check_rank=True)
+    est.set_x(data)
+    est._prepare_attribute("n_landmarks")
+    est._prepare_attribute("rank")
+    est._prepare_attribute("gp_type")
+    est._prepare_attribute("nn_distances")
+    est._prepare_attribute("d")
+    est._prepare_attribute("mu")
+    est._prepare_attribute("ls")
+    est._prepare_attribute("cov_func")
+    est._prepare_attribute("landmarks")
+    xu = est.landmarks
+    K = est.cov_func(xu, xu)
+    spec, _ = est.cov_func.operand_spec()
+    params = (float(est.ls),)
+
+    def run_ok(xu_, Lp_):
+        return fused_mod._fused_factorize_program(
+            data, xu_, Lp_, est.nn_distances, est.mu, params, spec, est.d
+        )
+
+    def run_prune(piv_):
+        return fused_mod._fused_prune_factorize_program(
+            K, piv_, data, xu, est.nn_distances, est.mu, params,
+            float(est.jitter), spec, est.d,
+        )
+
+    # force the prune path (ok=False) with a synthetic low pivot count
+    import numpy as np_
+
+    _finish_factorization(
+        est, data, xu, K, K * jnp.nan, False, False, run_ok, run_prune,
+        pivot=(np_.arange(50), 40),
+    )
+    # L must be left to the lazy chain so _compute_L runs test_rank
+    assert est.L is None
+    assert est.Lp is not None
+    assert est.check_rank is True
+    logger = logging.getLogger("mellon_tpu")
+    logger.propagate = True
+    try:
+        with caplog.at_level(logging.INFO, logger="mellon_tpu"):
+            est._prepare_attribute("L")
+    finally:
+        logger.propagate = False
+    assert any("rank" in r.message.lower() for r in caplog.records)
+
+
+def test_optimistic_only_within_fit(data):
+    """A bare prepare_inference must never leave unverified NaNs: the
+    optimistic deferral applies only when fit() guarantees run_inference."""
+    est = mellon_tpu.DensityEstimator(n_landmarks=50)
+    est.prepare_inference(data)
+    assert getattr(est, "_fused_lp_fallback", None) is None
+    assert np.isfinite(np.asarray(est.initial_value)).all()
+
+
 def test_fused_prepare_nn_repair_warning(data, caplog):
     import logging
 
