@@ -62,6 +62,16 @@ def main(n=1_000_000, d=50, m=5_000):
         f"(finite: {bool(jnp.all(jnp.isfinite(ld)))})"
     )
 
+    # a second fit on fresh same-shape data: the steady-state per-fit cost
+    # (program loads/compiles amortized away)
+    x2 = make_data(jax.random.PRNGKey(1), n, d)
+    x2.block_until_ready()
+    est2 = mellon_tpu.DensityEstimator(n_landmarks=m)
+    t0 = time.time()
+    ld2 = est2.fit_predict(x2)
+    ld2.block_until_ready()
+    log(f"WARM fit_predict: {time.time() - t0:.1f}s for {n:,} cells")
+
 
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:]]
