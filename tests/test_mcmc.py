@@ -206,6 +206,35 @@ def test_diagnostics_on_iid_samples():
     assert np.all(ess > 1000)  # iid -> ess ~ total draws
 
 
+def test_ess_matches_ar1_ground_truth():
+    """For an AR(1) chain with coefficient phi, the integrated
+    autocorrelation time is (1+phi)/(1-phi), so
+    ESS = N / tau — check the estimator recovers it within sampling noise."""
+    rng = np.random.RandomState(0)
+    phi = 0.7
+    c, n = 8, 4000
+    x = np.zeros((c, n))
+    innov = rng.randn(c, n) * np.sqrt(1 - phi**2)
+    for t in range(1, n):
+        x[:, t] = phi * x[:, t - 1] + innov[:, t]
+    ess = effective_sample_size(x[:, :, None])
+    expected = c * n * (1 - phi) / (1 + phi)
+    assert 0.7 * expected < float(ess[0]) < 1.4 * expected, (
+        float(ess[0]),
+        expected,
+    )
+
+
+def test_ess_detects_stuck_chain():
+    """A constant (stuck) dimension must not report a large ESS."""
+    rng = np.random.RandomState(1)
+    good = rng.randn(4, 500)
+    stuck = np.zeros((4, 500)) + rng.randn(4, 1)  # constant per chain
+    samples = np.stack([good, stuck], axis=-1)
+    rhat = split_rhat(samples)
+    assert float(rhat[1]) > 1.1  # disagreeing constant chains -> large rhat
+
+
 def test_estimator_nuts_optimizer():
     """optimizer='nuts' on the estimator: full posterior with std summary."""
     from mellon_tpu import DensityEstimator
