@@ -29,6 +29,16 @@ from .predictors import ExpPredictor, Predictor, PredictorTime
 logger = logging.getLogger("mellon_tpu")
 
 
+def _hp(a, b):
+    """Matrix product at HIGHEST precision.  Conditional algebra combines
+    kernel values with solve outputs (weights/factors) that can reach ~1e3
+    in magnitude for ill-conditioned landmark kernels; the TPU's
+    fast-precision matrix-matrix path would inject O(1) error there (a
+    matvec stays accurate, which masked this until multi-output fits).
+    These products are small (n_new x m x p), so the cost is negligible."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 # ---------------------------------------------------------------------------
 # sigma-shape disambiguation helpers
 # ---------------------------------------------------------------------------
@@ -106,6 +116,118 @@ def _get_L(x, cov_func, jitter=DEFAULT_JITTER, y_cov_factor=None, K=None):
     return safe_cholesky(K, jitter=0.0, max_tries=max_tries)
 
 
+# above this many Kuf elements the host-f64 rescue solve would move too
+# much data; fall back to landmark pruning instead
+HOST_F64_BUDGET = 250_000_000
+
+
+def _host_f64_landmarks_weights(K, Kuf, r, sigma, jitter, y_is_mean, per_feature):
+    """Weights of the landmarks conditional computed on the host in float64.
+
+    Rescue path for f32-singular landmark kernels: jitter escalation lets
+    the on-device factorization "succeed" while destroying accuracy (the
+    regularized solve needs directions that f32 Cholesky cannot resolve),
+    but the f32-rounded kernel VALUES retain ample information — refactoring
+    and solving them in f64 reproduces the reference's f64 pipeline (RMSE
+    verified to match to ~1e-3 of the data scale where escalated-jitter f32
+    was 30x off).  float64 is unavailable in-process when x64 is disabled,
+    so this runs in plain numpy on the host; the m x m / m x n algebra is
+    small at gene-trend scales.
+
+    Returns (weights, L_B, Lp) as float64 numpy arrays (caller casts).
+    """
+    import numpy as np
+
+    try:
+        from scipy.linalg import solve_triangular as np_trsm
+    except Exception:  # pragma: no cover - scipy is present in practice
+        def np_trsm(a, b, lower=False, trans=0):
+            op = a.T if trans in (1, "T") else a
+            return np.linalg.solve(op, b)
+
+    K = np.asarray(K, dtype=np.float64)
+    Kuf = np.asarray(Kuf, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    m = K.shape[0]
+    # the f32-rounded kernel values can leave eigenvalues slightly below
+    # -jitter; escalation in f64 is benign (verified: rmse degrades only
+    # ~50% even at 1e-3, vs 30x for the f32 escalation this path replaces)
+    host_jitter = max(float(jitter), 1e-12)
+    Lp = None
+    for _ in range(8):
+        try:
+            Lp = np.linalg.cholesky(K + host_jitter * np.eye(m))
+            break
+        except np.linalg.LinAlgError:
+            host_jitter *= 10
+    if Lp is None:
+        raise np.linalg.LinAlgError(
+            "Landmark kernel not factorizable even in float64."
+        )
+    A = np_trsm(Lp, Kuf, lower=True)
+
+    def solve_one(A_l, r_l):
+        LBB = A_l @ A.T + np.eye(m)
+        L_B = np.linalg.cholesky(LBB)
+        c = np_trsm(L_B, A @ r_l, lower=True)
+        w = np_trsm(Lp.T, np_trsm(L_B.T, c))
+        return w, L_B
+
+    if per_feature:
+        sigma_arr = np.asarray(sigma, dtype=np.float64)
+        cols = []
+        for j in range(r.shape[1]):
+            s = sigma_arr[:, j] if sigma_arr.ndim == 2 else sigma_arr[j]
+            s2 = np.square(s)
+            w, L_B = solve_one(A / s2, r[:, j] / s2)
+            cols.append(w)
+        return np.stack(cols, axis=1), None, Lp
+    if y_is_mean:
+        return (*solve_one(A, r), Lp)
+    sigma_arr = np.asarray(sigma, dtype=np.float64)
+    if sigma_arr.ndim == 0 or sigma_arr.shape == r.shape[:1]:
+        s2 = np.square(sigma_arr)
+        return (*solve_one(A / s2, r / s2), Lp)
+    if sigma_arr.shape == (r.shape[0], r.shape[0]):
+        L_s = np.linalg.cholesky(sigma_arr + jitter * np.eye(r.shape[0]))
+        r_l = np_trsm(L_s.T, np_trsm(L_s, r, lower=True))
+        A_l = np_trsm(L_s.T, np_trsm(L_s, A.T, lower=True)).T
+        return (*solve_one(A_l, r_l), Lp)
+    raise ValueError("Unsupported sigma configuration.")
+
+
+def _landmarks_lp_with_pruning(xu, cov_func, jitter):
+    """Landmark Cholesky with f32 pruning: when the landmark kernel is
+    numerically singular in f32 (wide kernels over many landmarks), prune
+    to the pivoted-Cholesky-selected subset instead of escalating jitter —
+    escalation succeeds numerically but destroys the conditional's accuracy
+    (observed 30x RMSE inflation on a FunctionEstimator fit), while the
+    pruned subset reproduces the f64 fit.  Mirrors the density models'
+    ``_compute_Lp`` pruning.  Returns (possibly pruned xu, Lp)."""
+    from ..ops.linalg import (
+        _jittered_cholesky,
+        safe_cholesky,
+        select_stable_landmarks,
+    )
+
+    K = cov_func(xu, xu)
+    if K.dtype == jnp.float64:
+        return xu, _get_L(xu, cov_func, jitter, K=K)
+    L, ok = _jittered_cholesky(K, jnp.asarray(jitter, dtype=K.dtype))
+    if bool(ok):
+        return xu, L
+    piv = select_stable_landmarks(K)
+    logger.warning(
+        "Landmark kernel is singular at f32; pruning %d "
+        "redundant landmarks (keeping %d).",
+        xu.shape[0] - len(piv),
+        len(piv),
+    )
+    xu = xu[piv]
+    K_sub = K[piv][:, piv]
+    return xu, safe_cholesky(K_sub, jitter=jitter, max_tries=3)
+
+
 def _sigma_to_y_cov_factor(sigma, y_cov_factor, n):
     """Lift sigma to a covariance left-factor
     (parity: ``mellon/conditional.py:101-135``)."""
@@ -176,9 +298,9 @@ def _process_sigma(sigma, r, A, jitter=DEFAULT_JITTER):
 def _sparse_solve(Lp, A, r_l, A_l):
     """Sparse-GP weight solve: B = I + A_l Aᵀ, weights = Lpᵀ⁻¹ L_Bᵀ⁻¹ L_B⁻¹ A r_l
     (parity: ``mellon/conditional.py:57-66``).  Returns (weights, L_B)."""
-    LBB = stabilize(A_l @ A.T, 1)
+    LBB = stabilize(_hp(A_l, A.T), 1)
     L_B = jnp.linalg.cholesky(LBB)
-    c = solve_triangular(L_B, A @ r_l, lower=True)
+    c = solve_triangular(L_B, _hp(A, r_l), lower=True)
     weights = solve_triangular(Lp.T, solve_triangular(L_B.T, c))
     return weights, L_B
 
@@ -287,7 +409,7 @@ class _FullConditional:
         """HC3-corrected residuals smoothed by a second GP
         (parity: ``mellon/conditional.py:308-364``)."""
         n = x.shape[0]
-        prediction = mu + K @ weights
+        prediction = mu + _hp(K, weights)
 
         if jnp.ndim(sigma) >= 1:
             sigma_pf = _normalize_per_feature_sigma(sigma)
@@ -346,7 +468,7 @@ class _FullConditional:
 
     def _mean(self, Xnew):
         Kus = self.cov_func(Xnew, self.x)
-        return self.mu + Kus @ self.weights
+        return self.mu + _hp(Kus, self.weights)
 
     def _leverage(self, Xnew, sigma):
         """h = 1 - sigma² diag((K + sigma² I)⁻¹) at the training geometry
@@ -375,7 +497,7 @@ class _FullConditional:
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)
         Kus = self.cov_func(Xnew, self.x)
-        return self.variance_mu + Kus @ self.variance_weights
+        return self.variance_mu + _hp(Kus, self.variance_weights)
 
     def _covariance(self, Xnew, diag=True):
         _check_covariance(self)
@@ -385,15 +507,15 @@ class _FullConditional:
             Kss = self.cov_func.diag(Xnew)
             return Kss - jnp.sum(jnp.square(A), axis=0)
         Kss = self.cov_func(Xnew, Xnew)
-        return Kss - A.T @ A
+        return Kss - _hp(A.T, A)
 
     def _mean_covariance(self, Xnew, diag=True):
         _check_uncertainty(self)
         Kus = self.cov_func(Xnew, self.x)
-        cov_L = Kus @ self.W
+        cov_L = _hp(Kus, self.W)
         if diag:
             return jnp.sum(cov_L * cov_L, axis=1)
-        return cov_L @ cov_L.T
+        return _hp(cov_L, cov_L.T)
 
 
 class FullConditional(_FullConditional, Predictor):
@@ -435,16 +557,50 @@ class _LandmarksConditional:
         x = ensure_2d(x)
         xu = ensure_2d(xu)
         original_sigma = sigma
-        Kuf = cov_func(xu, x)
         per_feature = _is_per_feature_sigma(sigma, y)
 
+        host_rescued = False
         if Lp is None:
-            Lp = _get_L(xu, cov_func, jitter)
+            from ..ops.linalg import _jittered_cholesky
 
-        A = solve_triangular(Lp, Kuf, lower=True)
+            K = cov_func(xu, xu)
+            if K.dtype != jnp.float64:
+                Lp, chol_ok = _jittered_cholesky(
+                    K, jnp.asarray(jitter, dtype=K.dtype)
+                )
+                if not bool(chol_ok):
+                    n_elem = xu.shape[0] * x.shape[0]
+                    if n_elem <= HOST_F64_BUDGET:
+                        logger.warning(
+                            "Landmark kernel is singular at f32; computing "
+                            "the conditional weights on the host in float64."
+                        )
+                        Kuf = cov_func(xu, x)
+                        w64, LB64, Lp64 = _host_f64_landmarks_weights(
+                            K, Kuf, y - mu, sigma, jitter,
+                            y_is_mean, per_feature,
+                        )
+                        weights = jnp.asarray(w64, dtype=K.dtype)
+                        L_B = (
+                            None if LB64 is None
+                            else jnp.asarray(LB64, dtype=K.dtype)
+                        )
+                        Lp = jnp.asarray(Lp64, dtype=K.dtype)
+                        A = solve_triangular(Lp, Kuf, lower=True)
+                        host_rescued = True
+                    else:
+                        xu, Lp = _landmarks_lp_with_pruning(xu, cov_func, jitter)
+            else:
+                Lp = _get_L(xu, cov_func, jitter, K=K)
+
+        if not host_rescued:
+            Kuf = cov_func(xu, x)
+            A = solve_triangular(Lp, Kuf, lower=True)
         r = y - mu
 
-        if per_feature:
+        if host_rescued:
+            pass
+        elif per_feature:
             sigma_pf = _normalize_per_feature_sigma(sigma)
 
             def _solve_one(sigma_g, r_g):
@@ -492,7 +648,7 @@ class _LandmarksConditional:
         self._state_variables.add("L")
 
         if not per_feature:
-            Cs = Lp @ L_B
+            Cs = _hp(Lp, L_B)
             self.Cs = Cs
             self._state_variables.add("Cs")
 
@@ -500,7 +656,7 @@ class _LandmarksConditional:
             return
 
         y_l = y_cov_factor
-        C = solve_triangular(L_B, A @ y_l, lower=True)
+        C = solve_triangular(L_B, _hp(A, y_l), lower=True)
         Z = solve_triangular(L_B.T, C)
         W = solve_triangular(Lp.T, Z)
         self.W = W
@@ -510,25 +666,25 @@ class _LandmarksConditional:
         self, x, y, xu, mu, cov_func, sigma, jitter, weights, Lp, Kuf, A
     ):
         """Parity: ``mellon/conditional.py:589-649``."""
-        prediction = mu + Kuf.T @ weights
+        prediction = mu + _hp(Kuf.T, weights)
         B = Kuf.T  # n x m
-        K_uu = Lp @ Lp.T
+        K_uu = _hp(Lp, Lp.T)
 
         if jnp.ndim(sigma) >= 1:
             sigma_pf = _normalize_per_feature_sigma(sigma)
 
             def _lev_one(sigma_g):
-                M = sigma_g**2 * K_uu + B.T @ B
+                M = sigma_g**2 * K_uu + _hp(B.T, B)
                 M = stabilize(M, jitter)
-                BM = B @ jnp.linalg.inv(M)
+                BM = _hp(B, jnp.linalg.inv(M))
                 return jnp.sum(BM * B, axis=1)
 
             sigma_in_axis = 1 if jnp.ndim(sigma_pf) == 2 else 0
             h = jax.vmap(_lev_one, in_axes=sigma_in_axis, out_axes=1)(sigma_pf)
         else:
-            M = sigma**2 * K_uu + B.T @ B
+            M = sigma**2 * K_uu + _hp(B.T, B)
             M = stabilize(M, jitter)
-            BM = B @ jnp.linalg.inv(M)
+            BM = _hp(B, jnp.linalg.inv(M))
             h = jnp.sum(BM * B, axis=1)
 
         residual = y - prediction
@@ -564,7 +720,7 @@ class _LandmarksConditional:
 
     def _mean(self, Xnew):
         Kus = self.cov_func(Xnew, self.landmarks)
-        return self.mu + Kus @ self.weights
+        return self.mu + _hp(Kus, self.weights)
 
     def _leverage(self, Xnew, sigma):
         """Sparse-GP hat diagonal via the m x m system M = sigma² K_uu + BᵀB
@@ -573,7 +729,7 @@ class _LandmarksConditional:
         jitter = self.jitter
         B = self.cov_func(Xnew, xu)
         if hasattr(self, "L") and self.L is not None:
-            K_uu = self.L @ self.L.T
+            K_uu = _hp(self.L, self.L.T)
         else:
             K_uu = self.cov_func(xu, xu)
 
@@ -581,22 +737,22 @@ class _LandmarksConditional:
             sigma = _normalize_per_feature_sigma(sigma)
 
             def _lev_one(sigma_g):
-                M = sigma_g**2 * K_uu + B.T @ B
+                M = sigma_g**2 * K_uu + _hp(B.T, B)
                 M = stabilize(M, jitter)
-                BM = B @ jnp.linalg.inv(M)
+                BM = _hp(B, jnp.linalg.inv(M))
                 return jnp.sum(BM * B, axis=1)
 
             return jax.vmap(_lev_one)(sigma).T
 
-        M = sigma**2 * K_uu + B.T @ B
+        M = sigma**2 * K_uu + _hp(B.T, B)
         M = stabilize(M, jitter)
-        BM = B @ jnp.linalg.inv(M)
+        BM = _hp(B, jnp.linalg.inv(M))
         return jnp.sum(BM * B, axis=1)
 
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)
         Kus = self.cov_func(Xnew, self.landmarks)
-        return self.variance_mu + Kus @ self.variance_weights
+        return self.variance_mu + _hp(Kus, self.variance_weights)
 
     def _covariance(self, Xnew, diag=False):
         """Nyström residual + sparse correction CᵀC
@@ -612,7 +768,7 @@ class _LandmarksConditional:
         if self.per_feature_sigma:
             if diag:
                 return cov_func.diag(Xnew) - jnp.sum(jnp.square(As), axis=0)
-            return cov_func(Xnew, Xnew) - As.T @ As
+            return cov_func(Xnew, Xnew) - _hp(As.T, As)
 
         Cs = self.Cs
         C = solve_triangular(Cs, Kus, lower=True)
@@ -621,15 +777,15 @@ class _LandmarksConditional:
             return Kss - jnp.sum(jnp.square(As), axis=0) + jnp.sum(
                 jnp.square(C), axis=0
             )
-        return cov_func(Xnew, Xnew) - As.T @ As + C.T @ C
+        return cov_func(Xnew, Xnew) - _hp(As.T, As) + _hp(C.T, C)
 
     def _mean_covariance(self, Xnew, diag=True):
         _check_uncertainty(self)
         Kus = self.cov_func(Xnew, self.landmarks)
-        cov_L = Kus @ self.W
+        cov_L = _hp(Kus, self.W)
         if diag:
             return jnp.sum(cov_L * cov_L, axis=1)
-        return cov_L @ cov_L.T
+        return _hp(cov_L, cov_L.T)
 
 
 class LandmarksConditional(_LandmarksConditional, Predictor):
@@ -732,7 +888,7 @@ class _LandmarksConditionalCholesky:
         """Parity: ``mellon/conditional.py:869-897``."""
         x = ensure_2d(x)
         Kxu = cov_func(x, xu)
-        prediction = mu + Kxu @ weights
+        prediction = mu + _hp(Kxu, weights)
         h = self._leverage(x, sigma)
         residual = y - prediction
         if residual.ndim > h.ndim:
@@ -754,25 +910,25 @@ class _LandmarksConditionalCholesky:
 
     def _mean(self, Xnew):
         Kus = self.cov_func(Xnew, self.landmarks)
-        return self.mu + Kus @ self.weights
+        return self.mu + _hp(Kus, self.weights)
 
     def _leverage(self, Xnew, sigma):
         xu = self.landmarks
         jitter = self.jitter
         B = self.cov_func(Xnew, xu)
         if hasattr(self, "L") and self.L is not None:
-            K_uu = self.L @ self.L.T
+            K_uu = _hp(self.L, self.L.T)
         else:
             K_uu = self.cov_func(xu, xu)
-        M = sigma**2 * K_uu + B.T @ B
+        M = sigma**2 * K_uu + _hp(B.T, B)
         M = stabilize(M, jitter)
-        BM = B @ jnp.linalg.inv(M)
+        BM = _hp(B, jnp.linalg.inv(M))
         return jnp.sum(BM * B, axis=1)
 
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)
         Kus = self.cov_func(Xnew, self.landmarks)
-        return self.variance_mu + Kus @ self.variance_weights
+        return self.variance_mu + _hp(Kus, self.variance_weights)
 
     def _covariance(self, Xnew, diag=True):
         _check_covariance(self)
@@ -781,15 +937,15 @@ class _LandmarksConditionalCholesky:
         if diag:
             Kss = self.cov_func.diag(Xnew)
             return Kss - jnp.sum(jnp.square(A), axis=0)
-        return self.cov_func(Xnew, Xnew) - A.T @ A
+        return self.cov_func(Xnew, Xnew) - _hp(A.T, A)
 
     def _mean_covariance(self, Xnew, diag=True):
         _check_uncertainty(self)
         Kus = self.cov_func(Xnew, self.landmarks)
-        cov_L = Kus @ self.W
+        cov_L = _hp(Kus, self.W)
         if diag:
             return jnp.sum(cov_L * cov_L, axis=1)
-        return cov_L @ cov_L.T
+        return _hp(cov_L, cov_L.T)
 
 
 class LandmarksConditionalCholesky(_LandmarksConditionalCholesky, Predictor):

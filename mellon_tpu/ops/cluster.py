@@ -13,7 +13,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..utils.util import distance
 
 logger = logging.getLogger("mellon_tpu")
 
@@ -22,16 +21,22 @@ DEFAULT_ASSIGN_BLOCK = 4096
 
 
 def _assign(x, centroids, block_size):
-    """Nearest-centroid index per row of x, computed in row blocks."""
+    """Nearest-centroid index per row of x, computed in row blocks.
+
+    Uses the fast-precision squared-distance form: only the argmin matters
+    here, so the MXU default precision suffices (utils.util.distance runs
+    at HIGHEST precision for kernel accuracy, which assignment doesn't
+    need)."""
     n = x.shape[0]
     n_blocks = -(-n // block_size)
     pad = n_blocks * block_size - n
     xp = jnp.concatenate(
         [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], axis=0
     ).reshape(n_blocks, block_size, x.shape[1])
+    cn = jnp.sum(centroids * centroids, axis=1)
 
     def block_argmin(xb):
-        d = distance(xb, centroids)
+        d = -2.0 * xb @ centroids.T + cn[None, :]
         return jnp.argmin(d, axis=1)
 
     idx = jax.lax.map(block_argmin, xp).reshape(n_blocks * block_size)[:n]

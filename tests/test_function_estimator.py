@@ -190,3 +190,87 @@ def test_full_gp_per_feature_sigma(data):
         np.testing.assert_allclose(
             np.asarray(got[:, j]), np.asarray(got_j), atol=1e-4
         )
+
+
+@pytest.fixture
+def propagate_logs():
+    """The package logger has propagate=False (own stdout handler); caplog
+    needs propagation on to observe records."""
+    import logging
+
+    logger = logging.getLogger("mellon_tpu")
+    logger.propagate = True
+    yield
+    logger.propagate = False
+
+
+def test_f32_singular_landmark_kernel_host_rescue(caplog, propagate_logs):
+    """f32-singular landmark kernels must NOT silently degrade accuracy.
+
+    With wide kernels over many landmarks the landmark kernel is numerically
+    singular in float32; escalating jitter lets the Cholesky "succeed" while
+    inflating prediction RMSE ~30x (observed on TPU FunctionEstimator fits).
+    The conditional instead recomputes the weights on the host in float64.
+    The estimator surface casts to f64 under this test suite's x64 config,
+    so the conditional is driven directly with f32 operands (the production
+    TPU dtype).  Regression for ``_host_f64_landmarks_weights``."""
+    import logging
+
+    from mellon_tpu.inference.conditionals import LandmarksConditional
+
+    rs = np.random.RandomState(3)
+    x32 = jnp.asarray(rs.randn(600, 4), dtype=jnp.float32)
+    xu32 = jnp.asarray(rs.randn(200, 4), dtype=jnp.float32)
+    Y32 = jnp.stack(
+        [jnp.sin(x32[:, 0]), jnp.cos(x32[:, 1])], axis=1
+    ).astype(jnp.float32)
+    # ls far above the data spread -> K(xu, xu) ~ all-ones, f32-singular
+    cov = Matern52(50.0)
+    sigma = jnp.asarray([0.1, 0.2], dtype=jnp.float32)
+
+    with caplog.at_level(logging.WARNING, logger="mellon_tpu"):
+        cond = LandmarksConditional(
+            x32, xu32, Y32, 0.0, cov, sigma=sigma, jitter=1e-6
+        )
+    assert any("singular at f32" in r.message for r in caplog.records)
+
+    got = cond._mean(x32[:50])
+    assert got.dtype == jnp.float32
+
+    # independent float64 ground truth of the sparse-GP conditional mean
+    x = np.asarray(x32, dtype=np.float64)
+    xu = np.asarray(xu32, dtype=np.float64)
+    Y = np.asarray(Y32, dtype=np.float64)
+    K = np.asarray(cov(xu32, xu32), dtype=np.float64)
+    Kuf = np.asarray(cov(xu32, x32), dtype=np.float64)
+    jit64 = 1e-12
+    while True:
+        try:
+            Lp = np.linalg.cholesky(K + jit64 * np.eye(200))
+            break
+        except np.linalg.LinAlgError:
+            jit64 *= 10
+    A = np.linalg.solve(Lp, Kuf)
+    expected = []
+    for j, s in enumerate([0.1, 0.2]):
+        A_l, r_l = A / s**2, Y[:, j] / s**2
+        L_B = np.linalg.cholesky(A_l @ A.T + np.eye(200))
+        c = np.linalg.solve(L_B, A @ r_l)
+        w = np.linalg.solve(Lp.T, np.linalg.solve(L_B.T, c))
+        expected.append(np.asarray(cov(x32[:50], xu32), dtype=np.float64) @ w)
+    expected = np.stack(expected, axis=1)
+    scale = float(np.abs(expected).max())
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float64), expected, atol=2e-3 * scale
+    )
+
+    # scalar-sigma flavor of the same rescue exercises the other branch
+    cond_s = LandmarksConditional(
+        x32, xu32, Y32[:, 0], 0.0, cov, sigma=0.1, jitter=1e-6
+    )
+    got_s = cond_s._mean(x32[:50])
+    np.testing.assert_allclose(
+        np.asarray(got_s, dtype=np.float64),
+        expected[:, 0],
+        atol=2e-3 * scale,
+    )
