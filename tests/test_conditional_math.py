@@ -134,3 +134,110 @@ def test_mean_covariance_pushforward(setup):
     np.testing.assert_allclose(got, expected, atol=1e-8)
     got_diag = np.asarray(c._mean_covariance(xnew, diag=True))
     np.testing.assert_allclose(got_diag, np.diag(expected), atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# f32-singular rescue branches (host-f64 weights / landmark pruning)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def singular_f32():
+    """f32 operands whose landmark kernel is numerically singular in f32:
+    ls far above the data spread makes K(xu, xu) ~ all-ones."""
+    rs = np.random.RandomState(7)
+    x32 = jnp.asarray(rs.randn(300, 3), dtype=jnp.float32)
+    xu32 = jnp.asarray(rs.randn(120, 3), dtype=jnp.float32)
+    y32 = jnp.sin(x32[:, 0]).astype(jnp.float32)
+    return x32, xu32, y32, Matern52(40.0)
+
+
+def _f64_sparse_weights(cov, x32, xu32, r, A_scale=None, r_scale=None):
+    """Independent f64 ground truth of the sparse-GP weight solve with
+    the same jitter escalation the rescue uses."""
+    m = xu32.shape[0]
+    K = np.asarray(cov(xu32, xu32), dtype=np.float64)
+    Kuf = np.asarray(cov(xu32, x32), dtype=np.float64)
+    jit64 = 1e-12
+    while True:
+        try:
+            Lp = np.linalg.cholesky(K + jit64 * np.eye(m))
+            break
+        except np.linalg.LinAlgError:
+            jit64 *= 10
+    A = np.linalg.solve(Lp, Kuf)
+    A_l = A if A_scale is None else A / A_scale
+    r_l = r if r_scale is None else r / r_scale
+    L_B = np.linalg.cholesky(A_l @ A.T + np.eye(m))
+    c = np.linalg.solve(L_B, A @ r_l)
+    return np.linalg.solve(Lp.T, np.linalg.solve(L_B.T, c))
+
+
+def test_host_rescue_y_is_mean_branch(singular_f32):
+    """y_is_mean=True rescue: weights solve with no sigma weighting."""
+    x32, xu32, y32, cov = singular_f32
+    c = LandmarksConditional(x32, xu32, y32, 0.0, cov, y_is_mean=True)
+    w64 = _f64_sparse_weights(cov, x32, xu32, np.asarray(y32, np.float64))
+    Ksu = np.asarray(cov(x32[:40], xu32), dtype=np.float64)
+    expected = Ksu @ w64
+    got = np.asarray(c._mean(x32[:40]), dtype=np.float64)
+    scale = float(np.abs(expected).max())
+    np.testing.assert_allclose(got, expected, atol=2e-3 * scale)
+
+
+def test_host_rescue_full_covariance_sigma_branch(singular_f32):
+    """(n, n) covariance-matrix sigma rescue matches the f64 formula."""
+    x32, xu32, y32, cov = singular_f32
+    n = x32.shape[0]
+    rs = np.random.RandomState(11)
+    F = rs.randn(n, 3).astype(np.float64)
+    Sigma = F @ F.T * 0.01 + 0.05 * np.eye(n)
+    c = LandmarksConditional(
+        x32, xu32, y32, 0.0, cov,
+        sigma=jnp.asarray(Sigma, dtype=jnp.float32),
+    )
+    # f64 ground truth: whiten by chol(Sigma + jitter I)
+    jitter = float(c.jitter)
+    L_s = np.linalg.cholesky(Sigma + jitter * np.eye(n))
+    m = xu32.shape[0]
+    K = np.asarray(cov(xu32, xu32), dtype=np.float64)
+    Kuf = np.asarray(cov(xu32, x32), dtype=np.float64)
+    jit64 = 1e-12
+    while True:
+        try:
+            Lp = np.linalg.cholesky(K + jit64 * np.eye(m))
+            break
+        except np.linalg.LinAlgError:
+            jit64 *= 10
+    A = np.linalg.solve(Lp, Kuf)
+    r = np.asarray(y32, np.float64)
+    r_l = np.linalg.solve(L_s.T, np.linalg.solve(L_s, r))
+    A_l = np.linalg.solve(L_s.T, np.linalg.solve(L_s, A.T)).T
+    L_B = np.linalg.cholesky(A_l @ A.T + np.eye(m))
+    cc = np.linalg.solve(L_B, A @ r_l)
+    w64 = np.linalg.solve(Lp.T, np.linalg.solve(L_B.T, cc))
+    Ksu = np.asarray(cov(x32[:40], xu32), dtype=np.float64)
+    expected = Ksu @ w64
+    got = np.asarray(c._mean(x32[:40]), dtype=np.float64)
+    scale = float(np.abs(expected).max())
+    np.testing.assert_allclose(got, expected, atol=5e-3 * scale)
+
+
+def test_oversized_rescue_falls_back_to_pruning(singular_f32, monkeypatch):
+    """When Kuf exceeds the host-transfer budget the conditional prunes
+    redundant landmarks instead of shipping data to the host; predictions
+    must stay close to the f64 answer."""
+    import mellon_tpu.inference.conditionals as C
+
+    x32, xu32, y32, cov = singular_f32
+    monkeypatch.setattr(C, "HOST_F64_BUDGET", 10)
+    c = LandmarksConditional(x32, xu32, y32, 0.0, cov, sigma=0.1)
+    assert c.landmarks.shape[0] < xu32.shape[0]  # actually pruned
+    w64 = _f64_sparse_weights(
+        cov, x32, xu32, np.asarray(y32, np.float64) / 0.01, A_scale=0.01
+    )
+    Ksu = np.asarray(cov(x32[:40], xu32), dtype=np.float64)
+    expected = Ksu @ w64
+    got = np.asarray(c._mean(x32[:40]), dtype=np.float64)
+    scale = float(np.abs(expected).max())
+    np.testing.assert_allclose(got, expected, atol=0.05 * scale)
