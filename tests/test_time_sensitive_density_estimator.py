@@ -108,3 +108,155 @@ def test_too_few_samples_per_time_raises():
     est = TimeSensitiveDensityEstimator(ls_time=1.0)
     with pytest.raises(ValueError, match="Insufficient data"):
         est.fit(x, times)
+
+
+def test_string_and_html_repr(fitted):
+    assert len(str(fitted)) > 0
+    assert len(fitted._repr_html_()) > 0
+
+
+def test_multi_time_hessian_semantics(data, fitted):
+    """Hessian with multi_time: equal time points give equal results and
+    distinct ones differ (parity: reference
+    ``test_time_sensitive_density_estimator.py:56-68``)."""
+    x, _ = data
+    n, d = x.shape
+    multi = [1.0, 1.0, 2.0]
+    hess = fitted.predict.hessian(x, multi_time=jnp.asarray(multi))
+    assert hess.shape == (n, len(multi), d, d)
+    np.testing.assert_array_equal(
+        np.asarray(hess[:, 0]), np.asarray(hess[:, 1])
+    )
+    assert np.any(np.asarray(hess[:, 0]) != np.asarray(hess[:, 2]))
+    sng, ld = fitted.predict.hessian_log_determinant(x, 1.0)
+    assert sng.shape == (n,)
+    assert ld.shape == (n,)
+
+
+@pytest.mark.parametrize(
+    "rank, n_landmarks, compress",
+    [
+        (1.0, 10, None),
+        (0.99, 60, "gzip"),
+        (0.99, 60, "bz2"),
+    ],
+)
+def test_serialization_roundtrip(data, tmp_path, rank, n_landmarks, compress):
+    import mellon_tpu
+
+    x, times = data
+    suffix = {"gzip": ".json.gz", "bz2": ".json.bz2", None: ".json"}[compress]
+    test_file = str(tmp_path / f"predictor{suffix}")
+    est = TimeSensitiveDensityEstimator(
+        rank=rank, n_landmarks=n_landmarks, ls_time=1.5
+    )
+    est.fit(x, times)
+    dens = est.predict(x, times)
+    est.predict.to_json(test_file, compress=compress)
+    predictor = mellon_tpu.Predictor.from_json(test_file, compress=compress)
+    np.testing.assert_allclose(
+        np.asarray(predictor(x, times)), np.asarray(dens), rtol=1e-6
+    )
+
+
+def test_serialization_with_uncertainty(data, tmp_path):
+    """ADVI + uncertainty predictor roundtrip (parity: reference
+    ``test_time_sensitive_density_estimator.py:168-213``)."""
+    import mellon_tpu
+
+    x, times = data
+    n = x.shape[0]
+    test_file = str(tmp_path / "predictor.json.gz")
+    est = TimeSensitiveDensityEstimator(
+        rank=0.99,
+        n_landmarks=60,
+        ls_time=1.5,
+        optimizer="advi",
+        predictor_with_uncertainty=True,
+    )
+    est.fit(x, times)
+    dens = est.predict(x, times)
+    assert est.predict.covariance(x, times).shape == (n,)
+    assert est.predict.mean_covariance(x, times).shape == (n,)
+    uncertainty = est.predict.uncertainty(x, times)
+    assert uncertainty.shape == (n,)
+    est.predict.to_json(test_file, compress="gzip")
+    predictor = mellon_tpu.Predictor.from_json(test_file, compress="gzip")
+    np.testing.assert_allclose(
+        np.asarray(predictor(x, times)), np.asarray(dens), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(predictor.uncertainty(x, times)),
+        np.asarray(uncertainty),
+        rtol=1e-6,
+    )
+
+
+def test_save_intermediate_ls_times(data):
+    """_save_intermediate_ls_times exposes the per-time fits used by the
+    ls_time heuristic (parity: reference ``:91-132``)."""
+    x, times = data
+    est = TimeSensitiveDensityEstimator(
+        n_landmarks=20, _save_intermediate_ls_times=True
+    )
+    est.fit(x, times)
+    assert hasattr(est, "densities")
+    assert hasattr(est, "predictors")
+    assert hasattr(est, "numeric_stages")
+    assert est.landmarks.shape[0] == 20
+
+
+def test_error_paths_and_staged_protocol(data):
+    """Error semantics + staged protocol (parity: reference ``:215-257``)."""
+    x, times = data
+    Xt = jnp.concatenate([x, times[:, None]], axis=1)
+    wide = jnp.concatenate([x] * 26 + [times[:, None]], axis=1)
+    est = TimeSensitiveDensityEstimator(ls_time=1.5)
+
+    with pytest.raises(ValueError):
+        est.fit_predict()
+    with pytest.raises(ValueError):
+        est.fit(None)
+    est.set_x(Xt)
+    with pytest.raises(ValueError):
+        est.prepare_inference(wide)
+    loss_func, initial_value = est.prepare_inference(None)
+    est.run_inference(loss_func, initial_value, "advi")
+    est.process_inference(est.pre_transformation)
+    with pytest.raises(ValueError):
+        est.predict(x[:, :-1], times)
+    with pytest.raises(ValueError):
+        est.fit_predict(wide)
+    est.fit_predict()
+    est.predict.n_obs = None
+    with pytest.raises(ValueError):
+        est.predict(x, time=times, normalize=True)
+
+
+@pytest.mark.parametrize(
+    "normalization, different",
+    [
+        (False, False),
+        # equal per-time counts make count-based normalization a no-op
+        (True, False),
+        ([4, 1000, 4], True),
+        (jnp.array([4, 1000, 4]), True),
+        ({0.0: 4, 1.0: 1000, 2.0: 4}, True),
+    ],
+)
+def test_normalization_forms(data, fitted, normalization, different):
+    """normalize_per_time_point accepts bool/list/array/dict forms
+    (parity: reference ``:260-279``).  The unequal synthetic counts make
+    any non-default normalization visibly change the densities."""
+    x, times = data
+    est = TimeSensitiveDensityEstimator(
+        ls_time=1.5, normalize_per_time_point=normalization
+    )
+    est.fit(x, times)
+    dens = np.asarray(est.predict(x, times))
+    ref = np.asarray(fitted.log_density_x)
+    rel = np.std(dens - ref) / np.std(ref)
+    if different:
+        assert rel > 1e-2
+    else:
+        assert rel < 1e-4
