@@ -205,3 +205,89 @@ def test_predictor_derivative_program_reused_across_calls(data, fitted):
     size_after_first = _gradient_impl._cache_size()
     _ = pred.gradient(x)
     assert _gradient_impl._cache_size() == size_after_first
+
+
+def test_single_dimension_input(data):
+    """1-d state vectors are accepted and consistent between sparse and
+    full GPs (parity: reference ``test_density_estimator.py:257-270``)."""
+    n = data.shape[0]
+    est = DensityEstimator()
+    d1 = est.fit_predict(data[:, 0])
+    assert d1.shape == (n,)
+    est_full = DensityEstimator(rank=1.0, n_landmarks=0)
+    d1_full = est_full.fit_predict(data[:, 0])
+    assert float(jnp.std(d1 - d1_full)) < 1e-2
+
+
+class TestLaplaceOnFits:
+    """Laplace uncertainty wiring on real density fits (parity:
+    reference ``tests/test_laplace.py:87-208``)."""
+
+    def test_lbfgsb_and_adam_set_std(self, data):
+        for opt, kwargs in [("L-BFGS-B", {}), ("adam", {"n_iter": 50})]:
+            est = DensityEstimator(
+                optimizer=opt,
+                n_landmarks=20,
+                predictor_with_uncertainty=True,
+                **kwargs,
+            )
+            est.fit(data)
+            assert est.pre_transformation_std is not None
+            assert np.all(np.asarray(est.pre_transformation_std) > 0)
+
+    def test_no_uncertainty_no_laplace(self, data):
+        est = DensityEstimator(
+            optimizer="L-BFGS-B",
+            n_landmarks=20,
+            predictor_with_uncertainty=False,
+        )
+        est.fit(data)
+        assert est.pre_transformation_std is None
+
+    def test_uncertainty_is_sum_of_components(self, data):
+        est = DensityEstimator(
+            optimizer="L-BFGS-B",
+            n_landmarks=20,
+            predictor_with_uncertainty=True,
+        )
+        est.fit(data)
+        xt = data[:10]
+        unc = est.predict.uncertainty(xt)
+        cov = est.predict.covariance(xt)
+        mean_cov = est.predict.mean_covariance(xt)
+        assert np.all(np.asarray(mean_cov) >= 0)
+        np.testing.assert_allclose(
+            np.asarray(unc), np.asarray(cov + mean_cov), atol=1e-6
+        )
+
+    def test_laplace_vs_advi_mean_agreement(self, data):
+        est_map = DensityEstimator(
+            optimizer="L-BFGS-B",
+            n_landmarks=20,
+            predictor_with_uncertainty=True,
+        )
+        est_map.fit(data)
+        est_advi = DensityEstimator(
+            optimizer="advi",
+            n_landmarks=20,
+            n_iter=200,
+            predictor_with_uncertainty=True,
+        )
+        est_advi.fit(data)
+        xt = data[:20]
+        corr = np.corrcoef(
+            np.asarray(est_map.predict(xt)), np.asarray(est_advi.predict(xt))
+        )[0, 1]
+        assert corr > 0.8, f"MAP/ADVI mean predictions poorly correlated: {corr:.3f}"
+
+    def test_full_gp_laplace(self, data):
+        est = DensityEstimator(
+            optimizer="L-BFGS-B",
+            n_landmarks=0,
+            predictor_with_uncertainty=True,
+        )
+        est.fit(data[:50])
+        assert est.pre_transformation_std is not None
+        unc = np.asarray(est.predict.uncertainty(data[:5]))
+        assert np.all(np.isfinite(unc))
+        assert np.all(unc >= 0)
