@@ -1,0 +1,175 @@
+"""Sigma-shape, leverage, and obs-variance behaviors beyond the basics,
+mirroring the reference's ``tests/test_sigma_to_y_cov_factor.py``,
+``tests/test_perobservation_sigma.py``, and ``tests/test_leverage.py``
+(SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mellon_tpu
+from mellon_tpu import FunctionEstimator
+from mellon_tpu.inference.conditionals import _sigma_to_y_cov_factor
+
+
+@pytest.fixture(scope="module")
+def data():
+    key = jax.random.PRNGKey(2)
+    x = jax.random.uniform(key, (50, 2), minval=-2, maxval=2)
+    y = jnp.sin(x[:, 0]) + 0.5 * jnp.cos(2 * x[:, 1])
+    return x, y
+
+
+@pytest.fixture(scope="module")
+def multi_output_data():
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (40, 2), minval=-2, maxval=2)
+    Y = jnp.stack([jnp.sin(x[:, 0]), jnp.cos(x[:, 1])], axis=1)
+    sigma = 0.05 + 0.1 * jax.random.uniform(jax.random.fold_in(key, 1), Y.shape)
+    return x, Y, sigma
+
+
+# --- _sigma_to_y_cov_factor units (reference test_sigma_to_y_cov_factor) ---
+
+
+def test_scalar_sigma_factor():
+    assert jnp.allclose(
+        _sigma_to_y_cov_factor(0.5, None, 3), jnp.eye(3) * 0.5
+    )
+
+
+def test_vector_sigma_factor():
+    s = jnp.array([1.0, 2.0, 3.0])
+    assert jnp.allclose(_sigma_to_y_cov_factor(s, None, 3), jnp.diag(s))
+
+
+def test_higher_dimensional_sigma_factor():
+    s = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+    expected = jnp.array(
+        [[[1.0, 2.0], [0.0, 0.0]], [[0.0, 0.0], [3.0, 4.0]]]
+    )
+    assert jnp.allclose(_sigma_to_y_cov_factor(s, None, 2), expected)
+
+
+def test_both_sigma_and_factor_raise():
+    with pytest.raises(ValueError):
+        _sigma_to_y_cov_factor(jnp.ones(3), jnp.eye(3), 3)
+
+
+def test_neither_sigma_nor_factor_raise():
+    with pytest.raises(ValueError):
+        _sigma_to_y_cov_factor(None, None, 3)
+
+
+# --- (n, p) sigma covariance semantics (reference test_perobservation) ----
+
+
+def test_np_sigma_covariance_requires_noise_free(multi_output_data):
+    x, Y, sigma = multi_output_data
+    est = FunctionEstimator(
+        sigma=sigma, n_landmarks=15, predictor_with_uncertainty=True
+    )
+    est.fit(x, Y)
+    with pytest.raises(ValueError, match="noise_free"):
+        est.predict.covariance(x[:5], diag=True)
+
+
+def test_np_sigma_covariance_is_noise_free(multi_output_data):
+    """The per-feature-sigma posterior covariance is epistemic only:
+    independent of the sigma values, shape (n_test,)."""
+    x, Y, sigma = multi_output_data
+    est = FunctionEstimator(
+        sigma=sigma, n_landmarks=15, predictor_with_uncertainty=True
+    )
+    est.fit(x, Y)
+    cov = est.predict.covariance(x[:10], diag=True, noise_free=True)
+    assert cov.shape == (10,)
+    est2 = FunctionEstimator(
+        sigma=sigma * 2.0, n_landmarks=15, predictor_with_uncertainty=True
+    )
+    est2.fit(x, Y)
+    cov2 = est2.predict.covariance(x[:10], diag=True, noise_free=True)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(cov2), atol=1e-4)
+    assert np.all(np.asarray(cov) >= -1e-6)
+
+
+# --- leverage bounds / dependence (reference test_leverage) ---------------
+
+
+def test_leverage_range_and_trace(data):
+    x, y = data
+    m = 15
+    est = FunctionEstimator(sigma=0.1, n_landmarks=m)
+    est.fit(x, y)
+    h = np.asarray(est.leverage(x))
+    assert np.all(h >= -1e-6)
+    assert np.all(h <= 1 + 1e-6)
+    # hat-matrix trace of the sparse GP is bounded by the landmark count
+    assert h.sum() <= m + 1e-3
+
+
+def test_leverage_sigma_dependence(data):
+    """Higher observation noise lowers every leverage value."""
+    x, y = data
+    lo = FunctionEstimator(sigma=0.01, n_landmarks=15)
+    lo.fit(x, y)
+    hi = FunctionEstimator(sigma=1.0, n_landmarks=15)
+    hi.fit(x, y)
+    assert np.mean(np.asarray(lo.leverage(x))) > np.mean(
+        np.asarray(hi.leverage(x))
+    )
+
+
+def test_leverage_before_fit_raises(data):
+    x, _ = data
+    est = FunctionEstimator(sigma=0.1)
+    with pytest.raises((ValueError, AttributeError)):
+        est.leverage(x)
+
+
+# --- serialization interactions -------------------------------------------
+
+
+def test_sigma_and_leverage_survive_serialization(data, tmp_path):
+    x, y = data
+    f = str(tmp_path / "p.json")
+    est = FunctionEstimator(sigma=0.1, n_landmarks=15)
+    est.fit(x, y)
+    h_before = np.asarray(est.predict.leverage(x))
+    est.predict.to_json(f)
+    restored = mellon_tpu.Predictor.from_json(f)
+    assert float(np.asarray(restored.sigma)) == pytest.approx(0.1)
+    np.testing.assert_allclose(
+        np.asarray(restored.leverage(x)), h_before, atol=1e-6
+    )
+
+
+def test_obs_variance_survives_serialization(data, tmp_path):
+    x, y = data
+    f = str(tmp_path / "p.json")
+    est = FunctionEstimator(sigma=0.1, n_landmarks=15, obs_variance=True)
+    est.fit(x, y)
+    ov_before = np.asarray(est.get_obs_variance(x))
+    assert np.all(np.isfinite(ov_before))
+    est.predict.to_json(f)
+    restored = mellon_tpu.Predictor.from_json(f)
+    np.testing.assert_allclose(
+        np.asarray(restored.obs_variance(x)), ov_before, atol=1e-6
+    )
+
+
+def test_obs_variance_error_when_not_computed(data):
+    x, y = data
+    est = FunctionEstimator(sigma=0.1, n_landmarks=15)
+    est.fit(x, y)
+    with pytest.raises(ValueError):
+        est.predict.obs_variance(x)
+
+
+def test_fit_obs_variance_override(data):
+    """fit(obs_variance=True) overrides the constructor default."""
+    x, y = data
+    est = FunctionEstimator(sigma=0.1, n_landmarks=15)
+    est.fit(x, y, obs_variance=True)
+    assert np.all(np.isfinite(np.asarray(est.get_obs_variance(x))))
