@@ -305,6 +305,52 @@ def _sparse_solve(Lp, A, r_l, A_l):
     return weights, L_B
 
 
+def _hat_diagonal(B, K_uu, sigma, jitter):
+    """Sparse-GP hat diagonal h = diag(B M⁻¹ Bᵀ), M = sigma² K_uu + BᵀB,
+    validated against its physical range.
+
+    ``sigma`` is a scalar or a per-feature vector (p,) — vector input
+    returns (n, p).  When the landmark kernel is f32-singular, M inherits
+    the ~1e12 condition number and the f32 inverse corrupts h grossly
+    (observed h < -1; the HC3 obs-variance correction divides by (1-h)²).
+    The device result is therefore range-checked and recomputed on the
+    host in float64 when it leaves [0, 1] — the same rescue discipline as
+    the conditional weights, self-validating so it also protects
+    deserialized predictors."""
+    sigma_vec = jnp.atleast_1d(jnp.asarray(sigma))
+    per_feature = sigma_vec.shape[0] > 1 or jnp.ndim(sigma) == 1
+
+    def _dev_one(sigma_g):
+        M = stabilize(sigma_g**2 * K_uu + _hp(B.T, B), jitter)
+        return jnp.sum(_hp(B, jnp.linalg.inv(M)) * B, axis=1)
+
+    if per_feature:
+        h = jax.vmap(_dev_one)(sigma_vec).T
+    else:
+        h = _dev_one(sigma_vec[0])
+    if h.dtype == jnp.float64:
+        return h
+    tol = 1e-3
+    if not bool(jnp.any((h < -tol) | (h > 1 + tol))):
+        return h
+    import numpy as np
+
+    logger.warning(
+        "Leverage left [0, 1] on the f32 path (ill-conditioned landmark "
+        "kernel); recomputing on the host in float64."
+    )
+    B64 = np.asarray(B, dtype=np.float64)
+    K64 = np.asarray(K_uu, dtype=np.float64)
+    m = K64.shape[0]
+    eye = np.eye(m)
+    cols = []
+    for s in np.atleast_1d(np.asarray(sigma, dtype=np.float64)):
+        M64 = s**2 * K64 + B64.T @ B64 + float(jitter) * eye
+        cols.append(np.sum(B64 @ np.linalg.inv(M64) * B64, axis=1))
+    h64 = np.stack(cols, axis=1) if per_feature else cols[0]
+    return jnp.asarray(np.clip(h64, 0.0, 1.0), dtype=h.dtype)
+
+
 # ---------------------------------------------------------------------------
 # full conditional
 # ---------------------------------------------------------------------------
@@ -670,22 +716,12 @@ class _LandmarksConditional:
         B = Kuf.T  # n x m
         K_uu = _hp(Lp, Lp.T)
 
-        if jnp.ndim(sigma) >= 1:
-            sigma_pf = _normalize_per_feature_sigma(sigma)
-
-            def _lev_one(sigma_g):
-                M = sigma_g**2 * K_uu + _hp(B.T, B)
-                M = stabilize(M, jitter)
-                BM = _hp(B, jnp.linalg.inv(M))
-                return jnp.sum(BM * B, axis=1)
-
-            sigma_in_axis = 1 if jnp.ndim(sigma_pf) == 2 else 0
-            h = jax.vmap(_lev_one, in_axes=sigma_in_axis, out_axes=1)(sigma_pf)
-        else:
-            M = sigma**2 * K_uu + _hp(B.T, B)
-            M = stabilize(M, jitter)
-            BM = _hp(B, jnp.linalg.inv(M))
-            h = jnp.sum(BM * B, axis=1)
+        sigma_h = (
+            _normalize_per_feature_sigma(sigma)
+            if jnp.ndim(sigma) >= 1
+            else sigma
+        )
+        h = _hat_diagonal(B, K_uu, sigma_h, jitter)
 
         residual = y - prediction
         if residual.ndim > h.ndim:
@@ -735,19 +771,7 @@ class _LandmarksConditional:
 
         if jnp.ndim(sigma) >= 1:
             sigma = _normalize_per_feature_sigma(sigma)
-
-            def _lev_one(sigma_g):
-                M = sigma_g**2 * K_uu + _hp(B.T, B)
-                M = stabilize(M, jitter)
-                BM = _hp(B, jnp.linalg.inv(M))
-                return jnp.sum(BM * B, axis=1)
-
-            return jax.vmap(_lev_one)(sigma).T
-
-        M = sigma**2 * K_uu + _hp(B.T, B)
-        M = stabilize(M, jitter)
-        BM = _hp(B, jnp.linalg.inv(M))
-        return jnp.sum(BM * B, axis=1)
+        return _hat_diagonal(B, K_uu, sigma, jitter)
 
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)
@@ -920,10 +944,7 @@ class _LandmarksConditionalCholesky:
             K_uu = _hp(self.L, self.L.T)
         else:
             K_uu = self.cov_func(xu, xu)
-        M = sigma**2 * K_uu + _hp(B.T, B)
-        M = stabilize(M, jitter)
-        BM = _hp(B, jnp.linalg.inv(M))
-        return jnp.sum(BM * B, axis=1)
+        return _hat_diagonal(B, K_uu, sigma, jitter)
 
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)

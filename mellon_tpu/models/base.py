@@ -87,7 +87,14 @@ class BaseEstimator:
         jit=DEFAULT_JIT,
         check_rank=None,
         random_state=DEFAULT_RANDOM_SEED,
+        precision=None,
     ):
+        if precision not in (None, "f32", "bf16"):
+            raise ValueError(
+                f"Unknown precision option: {precision!r}. "
+                'Available options are "bf16", "f32" and None.'
+            )
+        self.precision = precision
         self.cov_func_curry = validate_cov_func_curry(
             cov_func_curry, cov_func, "cov_func_curry"
         )
@@ -391,6 +398,22 @@ class BaseEstimator:
                 if loss_fn is None:
                     loss_fn, loss_args = self.loss_func, ()
         logger.info("Running inference using %s.", optimizer)
+        if (
+            getattr(self, "precision", None) == "bf16"
+            and optimizer in ("nuts", "smc")
+            and loss_args
+        ):
+            # bf16 operand storage halves sampler HBM traffic (~1.9x
+            # leapfrog throughput); same cast sample_density_posterior
+            # applies for its precision="bf16" option
+            import jax.numpy as _jnp
+
+            loss_args = tuple(
+                a.astype(_jnp.bfloat16)
+                if getattr(a, "ndim", 0) == 2 and a.dtype == _jnp.float32
+                else a
+                for a in loss_args
+            )
         if optimizer == "adam":
             results = minimize_adam(
                 loss_fn,
@@ -418,7 +441,11 @@ class BaseEstimator:
             self.losses = results.losses
         elif optimizer == "L-BFGS-B":
             results = minimize_lbfgsb(
-                loss_fn, initial_value, jit=self.jit, loss_args=loss_args
+                loss_fn,
+                initial_value,
+                jit=self.jit,
+                loss_args=loss_args,
+                precision=getattr(self, "precision", None),
             )
             fallback = getattr(self, "_fused_lp_fallback", None)
             self._fused_lp_fallback = None  # release K either way

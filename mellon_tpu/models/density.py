@@ -65,6 +65,7 @@ class DensityEstimator(BaseEstimator):
         jit=DEFAULT_JIT,
         check_rank=None,
         random_state=DEFAULT_RANDOM_SEED,
+        precision=None,
     ):
         super().__init__(
             cov_func_curry=cov_func_curry,
@@ -86,6 +87,7 @@ class DensityEstimator(BaseEstimator):
             L=L,
             initial_value=initial_value,
             predictor_with_uncertainty=predictor_with_uncertainty,
+            precision=precision,
             jit=jit,
             check_rank=check_rank,
             random_state=random_state,

@@ -72,6 +72,25 @@ def main(n=1_000_000, d=50, m=5_000):
     ld2.block_until_ready()
     log(f"WARM fit_predict: {time.time() - t0:.1f}s for {n:,} cells")
 
+    # opt-in: bf16-coarse + f32-polish MAP (precision="bf16"); report its
+    # warm time and agreement with the f32 fit on the same data
+    est3 = mellon_tpu.DensityEstimator(n_landmarks=m, precision="bf16")
+    ld3 = est3.fit_predict(x2)  # warm the two-phase programs
+    x3 = make_data(jax.random.PRNGKey(2), n, d)
+    x3.block_until_ready()
+    est3 = mellon_tpu.DensityEstimator(n_landmarks=m, precision="bf16")
+    t0 = time.time()
+    ld3 = est3.fit_predict(x3)
+    ld3.block_until_ready()
+    t_bf16 = time.time() - t0
+    est4 = mellon_tpu.DensityEstimator(n_landmarks=m)
+    ld4 = est4.fit_predict(x3)
+    corr = float(jnp.corrcoef(ld3, ld4)[0, 1])
+    log(
+        f"WARM fit_predict precision='bf16': {t_bf16:.1f}s "
+        f"(log-density corr vs f32 fit: {corr:.5f})"
+    )
+
 
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:]]

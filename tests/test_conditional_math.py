@@ -241,3 +241,27 @@ def test_oversized_rescue_falls_back_to_pruning(singular_f32, monkeypatch):
     got = np.asarray(c._mean(x32[:40]), dtype=np.float64)
     scale = float(np.abs(expected).max())
     np.testing.assert_allclose(got, expected, atol=0.05 * scale)
+
+
+def test_host_rescue_leverage_stays_physical(singular_f32):
+    """Leverage under an f32-singular landmark kernel must stay in [0, 1]:
+    the f32 inverse of M = sigma²K_uu + BᵀB is corrupted by the ~1e12
+    condition number (observed h < -1, which poisons the HC3 obs-variance
+    correction); the range-checked host-f64 fallback restores it."""
+    x32, xu32, y32, cov = singular_f32
+    c = LandmarksConditional(
+        x32, xu32, y32, 0.0, cov, sigma=0.1,
+        obs_variance=True, with_uncertainty=True,
+    )
+    h = np.asarray(c._leverage(x32[:50], 0.1))
+    assert h.min() >= 0.0
+    assert h.max() <= 1.0
+    # per-feature sigma flavor returns (n, p) in range too
+    h2 = np.asarray(
+        c._leverage(x32[:50], jnp.asarray([0.1, 0.3], dtype=jnp.float32))
+    )
+    assert h2.shape == (50, 2)
+    assert h2.min() >= 0.0 and h2.max() <= 1.0
+    # obs-variance built through the same hat diagonal stays finite
+    ov = np.asarray(c._obs_variance(x32[:20]))
+    assert np.all(np.isfinite(ov))

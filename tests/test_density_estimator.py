@@ -291,3 +291,18 @@ class TestLaplaceOnFits:
         unc = np.asarray(est.predict.uncertainty(data[:5]))
         assert np.all(np.isfinite(unc))
         assert np.all(unc >= 0)
+
+
+def test_bf16_precision_map_close_to_default(data, fitted):
+    """precision="bf16" runs the two-phase (bf16 coarse + f32 polish) MAP
+    and stays close to the f32 fit; unknown options raise."""
+    est = DensityEstimator(n_landmarks=50, precision="bf16")
+    dens = est.fit_predict(data)
+    ref = DensityEstimator(n_landmarks=50).fit_predict(data)
+    corr = np.corrcoef(np.asarray(dens), np.asarray(ref))[0, 1]
+    assert corr > 0.999, f"bf16 MAP diverged from f32: corr={corr:.5f}"
+    rel = float(jnp.std(dens - ref) / jnp.std(ref))
+    assert rel < 0.05, rel
+
+    with pytest.raises(ValueError, match="precision"):
+        DensityEstimator(precision="fp8")

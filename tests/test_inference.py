@@ -145,3 +145,32 @@ def test_lbfgs_matches_scipy_on_density_loss():
     np.testing.assert_allclose(
         np.asarray(ours.pre_transformation), scipy_res.x, atol=5e-2
     )
+
+
+def test_lbfgs_bf16_two_phase_matches_f32():
+    """precision="bf16" two-phase L-BFGS reaches the f32 optimum on the
+    density loss with f32 operands (the production TPU dtype)."""
+    import numpy as np
+
+    from mellon_tpu.inference.losses import density_loss
+    from mellon_tpu.inference.optimizers import minimize_lbfgsb
+
+    key = jax.random.PRNGKey(0)
+    n, m = 500, 32
+    L = (jax.random.normal(key, (n, m)) / jnp.sqrt(m)).astype(jnp.float32)
+    nn = (0.05 + 0.3 * jax.random.uniform(jax.random.fold_in(key, 1), (n,))).astype(
+        jnp.float32
+    )
+    args = (L, nn, 5.0, -3.0)
+    z0 = jnp.zeros(m, dtype=jnp.float32)
+    res_f32 = minimize_lbfgsb(density_loss, z0, loss_args=args)
+    res_bf16 = minimize_lbfgsb(
+        density_loss, z0, loss_args=args, precision="bf16"
+    )
+    assert abs(res_bf16.loss - res_f32.loss) < 1e-3 * abs(res_f32.loss)
+    f_a = np.asarray(L @ res_f32.pre_transformation)
+    f_b = np.asarray(L @ res_bf16.pre_transformation)
+    assert np.corrcoef(f_a, f_b)[0, 1] > 0.999
+
+    with pytest.raises(ValueError, match="precision"):
+        minimize_lbfgsb(density_loss, z0, loss_args=args, precision="int8")
