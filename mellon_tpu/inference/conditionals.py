@@ -165,27 +165,45 @@ def _host_f64_landmarks_weights(K, Kuf, r, sigma, jitter, y_is_mean, per_feature
             "Landmark kernel not factorizable even in float64."
         )
     A = np_trsm(Lp, Kuf, lower=True)
+    eye = np.eye(m)
 
     def solve_one(A_l, r_l):
-        LBB = A_l @ A.T + np.eye(m)
+        LBB = A_l @ A.T + eye
         L_B = np.linalg.cholesky(LBB)
+        c = np_trsm(L_B, A @ r_l, lower=True)
+        w = np_trsm(Lp.T, np_trsm(L_B.T, c))
+        return w, L_B
+
+    # S = A Aᵀ is the O(m²n) term; every scalar-weighted branch reuses it
+    # (A_l Aᵀ = S/σ² exactly) so per-feature fits pay it once, not p times
+    def solve_scaled(inv_s2, r_l):
+        L_B = np.linalg.cholesky(S * inv_s2 + eye)
         c = np_trsm(L_B, A @ r_l, lower=True)
         w = np_trsm(Lp.T, np_trsm(L_B.T, c))
         return w, L_B
 
     if per_feature:
         sigma_arr = np.asarray(sigma, dtype=np.float64)
+        S = None if sigma_arr.ndim == 2 else A @ A.T
         cols = []
         for j in range(r.shape[1]):
-            s = sigma_arr[:, j] if sigma_arr.ndim == 2 else sigma_arr[j]
-            s2 = np.square(s)
-            w, L_B = solve_one(A / s2, r[:, j] / s2)
+            if sigma_arr.ndim == 2:
+                s2 = np.square(sigma_arr[:, j])
+                w, _ = solve_one(A / s2, r[:, j] / s2)
+            else:
+                s2 = float(sigma_arr[j]) ** 2
+                w, _ = solve_scaled(1.0 / s2, r[:, j] / s2)
             cols.append(w)
         return np.stack(cols, axis=1), None, Lp
     if y_is_mean:
-        return (*solve_one(A, r), Lp)
+        S = A @ A.T
+        return (*solve_scaled(1.0, r), Lp)
     sigma_arr = np.asarray(sigma, dtype=np.float64)
-    if sigma_arr.ndim == 0 or sigma_arr.shape == r.shape[:1]:
+    if sigma_arr.ndim == 0:
+        s2 = float(sigma_arr) ** 2
+        S = A @ A.T
+        return (*solve_scaled(1.0 / s2, r / s2), Lp)
+    if sigma_arr.shape == r.shape[:1]:
         s2 = np.square(sigma_arr)
         return (*solve_one(A / s2, r / s2), Lp)
     if sigma_arr.shape == (r.shape[0], r.shape[0]):
@@ -649,17 +667,37 @@ class _LandmarksConditional:
         elif per_feature:
             sigma_pf = _normalize_per_feature_sigma(sigma)
 
-            def _solve_one(sigma_g, r_g):
-                sigma2 = jnp.square(sigma_g)
-                r_l = r_g / sigma2
-                A_l = A / sigma2
-                w, _ = _sparse_solve(Lp, A, r_l, A_l)
-                return w
+            if jnp.ndim(sigma_pf) == 1:
+                # scalar sigma per feature: A_l Aᵀ = S/σ² exactly, so the
+                # O(m²n) MXU product runs once instead of once per feature
+                S = _hp(A, A.T)
+                Ar = _hp(A, r)  # (m, p)
 
-            sigma_in_axis = 1 if jnp.ndim(sigma_pf) == 2 else 0
-            weights = jax.vmap(_solve_one, in_axes=(sigma_in_axis, 1), out_axes=1)(
-                sigma_pf, r
-            )
+                def _solve_one(sigma_g, Ar_g):
+                    sigma2 = jnp.square(sigma_g)
+                    LBB = stabilize(S / sigma2, 1)
+                    L_B = jnp.linalg.cholesky(LBB)
+                    c = solve_triangular(L_B, Ar_g / sigma2, lower=True)
+                    return solve_triangular(
+                        Lp.T, solve_triangular(L_B.T, c)
+                    )
+
+                weights = jax.vmap(_solve_one, in_axes=(0, 1), out_axes=1)(
+                    sigma_pf, Ar
+                )
+            else:
+                # (n, p) sigma: the weighting is per observation, so each
+                # feature needs its own product
+                def _solve_one(sigma_g, r_g):
+                    sigma2 = jnp.square(sigma_g)
+                    r_l = r_g / sigma2
+                    A_l = A / sigma2
+                    w, _ = _sparse_solve(Lp, A, r_l, A_l)
+                    return w
+
+                weights = jax.vmap(_solve_one, in_axes=(1, 1), out_axes=1)(
+                    sigma_pf, r
+                )
             L_B = None
         else:
             if y_is_mean:
