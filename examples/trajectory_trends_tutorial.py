@@ -1,0 +1,55 @@
+"""Gene-expression trends along a pseudotime trajectory.
+
+Runnable port of the reference's ``notebooks/trajectory-trends_tutorial.ipynb``
+flow: FunctionEstimator smooths per-cell gene expression onto a pseudotime
+grid — many genes at once via multi-output y — with per-gene noise levels
+and leverage/observation-variance diagnostics.
+
+Usage: python examples/trajectory_trends_tutorial.py
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import mellon_tpu as mellon
+
+# --- synthetic lineage: pseudotime + noisy expression of 50 genes -----------
+rs = np.random.RandomState(0)
+n_cells, n_genes = 3000, 50
+pseudotime = jnp.asarray(np.sort(rs.rand(n_cells)) * 10, dtype=jnp.float32)
+
+# each gene follows its own smooth trend with gene-specific noise
+onsets = rs.rand(n_genes) * 8
+noise = 0.05 + 0.3 * rs.rand(n_genes)
+trends_true = 1 / (1 + np.exp(-(np.asarray(pseudotime)[:, None] - onsets) * 2))
+expressions = jnp.asarray(
+    trends_true + rs.randn(n_cells, n_genes) * noise, dtype=jnp.float32
+)
+
+pseudotime_grid = jnp.linspace(0, 10, 200, dtype=jnp.float32)
+
+# --- smooth all genes in one fit (per-gene sigma) ----------------------------
+model = mellon.FunctionEstimator(
+    ls=5, sigma=jnp.asarray(noise, dtype=jnp.float32), n_landmarks=100
+)
+trends = model.fit_predict(pseudotime, expressions, pseudotime_grid)
+print(f"smoothed {n_genes} gene trends onto {len(pseudotime_grid)} grid "
+      f"points: {trends.shape}")
+
+# recovered trends should match the noise-free truth closely
+truth_on_grid = 1 / (1 + np.exp(-(np.asarray(pseudotime_grid)[:, None] - onsets) * 2))
+rmse = float(np.sqrt(np.mean((np.asarray(trends) - truth_on_grid) ** 2)))
+print(f"rmse vs noise-free truth: {rmse:.4f} (gene noise levels 0.05-0.35)")
+assert rmse < 0.1
+
+# --- diagnostics: leverage and smoothed observation variance -----------------
+single = mellon.FunctionEstimator(
+    ls=5, sigma=float(noise[0]), n_landmarks=100, obs_variance=True
+)
+single.fit(pseudotime, expressions[:, 0])
+h = single.leverage(pseudotime[:500])
+ov = single.get_obs_variance(pseudotime_grid)
+print(f"leverage range [{float(h.min()):.4f}, {float(h.max()):.4f}]; "
+      f"mean smoothed obs-variance {float(ov.mean()):.4f} "
+      f"(true noise var {float(noise[0])**2:.4f})")
+print("trajectory-trends tutorial flow complete")

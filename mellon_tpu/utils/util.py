@@ -41,7 +41,12 @@ def distance(x, y):
     yy = jnp.sum(y * y, axis=1)[None, :]
     xy = jnp.tensordot(x, y, axes=(1, 1))
     sq = xx - 2 * xy + yy + 1e-12
-    return jnp.sqrt(jnp.maximum(sq, 0))
+    # floor at the epsilon, not at 0: f32 cancellation can leave sq <= 0 for
+    # coincident points despite the epsilon, and autodiff through sqrt(0)
+    # yields 0 * inf = NaN (it poisoned predictor.gradient at training
+    # points); where the floor binds, d(maximum)/d(sq) = 0 so the gradient
+    # is exactly 0 — the correct limit for the symmetric distance
+    return jnp.sqrt(jnp.maximum(sq, 1e-12))
 
 
 def distance_grad(x, eps=1e-12):

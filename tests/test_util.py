@@ -282,3 +282,21 @@ def test_set_verbosity_toggles_level():
         assert logger.level == logging.INFO
     finally:
         logger.setLevel(original)
+
+
+def test_distance_gradient_finite_at_coincident_points_f32():
+    """Autodiff through ``distance`` must stay finite when query points
+    coincide with training points in f32: cancellation in the matmul form
+    can leave the squared distance <= 0 despite the epsilon, and
+    sqrt(max(sq, 0)) then backpropagates 0 * inf = NaN (observed as NaN
+    predictor gradients at training points on a FULL-GP density fit)."""
+    # large-magnitude coordinates maximize f32 cancellation
+    pts = jnp.asarray(
+        np.random.RandomState(0).randn(50, 10) * 4, dtype=jnp.float32
+    )
+
+    def total_dist(y):
+        return jnp.sum(distance(pts, y))
+
+    g = jax.grad(total_dist)(pts)  # y == x: all diagonal distances ~ 0
+    assert bool(jnp.all(jnp.isfinite(g)))
