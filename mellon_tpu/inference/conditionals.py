@@ -134,7 +134,9 @@ def _host_f64_landmarks_weights(K, Kuf, r, sigma, jitter, y_is_mean, per_feature
     so this runs in plain numpy on the host; the m x m / m x n algebra is
     small at gene-trend scales.
 
-    Returns (weights, L_B, Lp) as float64 numpy arrays (caller casts).
+    Returns (weights, L_B, Lp, A) as float64 numpy arrays (caller casts;
+    A is returned so downstream algebra reuses the accurate f64 solve
+    instead of re-solving against the ill-conditioned factor in f32).
     """
     import numpy as np
 
@@ -194,27 +196,29 @@ def _host_f64_landmarks_weights(K, Kuf, r, sigma, jitter, y_is_mean, per_feature
                 s2 = float(sigma_arr[j]) ** 2
                 w, _ = solve_scaled(1.0 / s2, r[:, j] / s2)
             cols.append(w)
-        return np.stack(cols, axis=1), None, Lp
+        return np.stack(cols, axis=1), None, Lp, A
     if y_is_mean:
         S = A @ A.T
-        return (*solve_scaled(1.0, r), Lp)
+        return (*solve_scaled(1.0, r), Lp, A)
     sigma_arr = np.asarray(sigma, dtype=np.float64)
     if sigma_arr.ndim == 0:
         s2 = float(sigma_arr) ** 2
         S = A @ A.T
-        return (*solve_scaled(1.0 / s2, r / s2), Lp)
-    if sigma_arr.shape == r.shape[:1]:
+        return (*solve_scaled(1.0 / s2, r / s2), Lp, A)
+    if sigma_arr.shape == r.shape[:1] and r.ndim == 1:
+        # element-wise noise; 2-D residuals with a length-n sigma are an
+        # unsupported configuration on the device path too
         s2 = np.square(sigma_arr)
-        return (*solve_one(A / s2, r / s2), Lp)
+        return (*solve_one(A / s2, r / s2), Lp, A)
     if sigma_arr.shape == (r.shape[0], r.shape[0]):
         L_s = np.linalg.cholesky(sigma_arr + jitter * np.eye(r.shape[0]))
         r_l = np_trsm(L_s.T, np_trsm(L_s, r, lower=True))
         A_l = np_trsm(L_s.T, np_trsm(L_s, A.T, lower=True)).T
-        return (*solve_one(A_l, r_l), Lp)
+        return (*solve_one(A_l, r_l), Lp, A)
     raise ValueError("Unsupported sigma configuration.")
 
 
-def _landmarks_lp_with_pruning(xu, cov_func, jitter):
+def _landmarks_lp_with_pruning(xu, cov_func, jitter, K=None, known_singular=False):
     """Landmark Cholesky with f32 pruning: when the landmark kernel is
     numerically singular in f32 (wide kernels over many landmarks), prune
     to the pivoted-Cholesky-selected subset instead of escalating jitter —
@@ -228,12 +232,14 @@ def _landmarks_lp_with_pruning(xu, cov_func, jitter):
         select_stable_landmarks,
     )
 
-    K = cov_func(xu, xu)
+    if K is None:
+        K = cov_func(xu, xu)
     if K.dtype == jnp.float64:
         return xu, _get_L(xu, cov_func, jitter, K=K)
-    L, ok = _jittered_cholesky(K, jnp.asarray(jitter, dtype=K.dtype))
-    if bool(ok):
-        return xu, L
+    if not known_singular:
+        L, ok = _jittered_cholesky(K, jnp.asarray(jitter, dtype=K.dtype))
+        if bool(ok):
+            return xu, L
     piv = select_stable_landmarks(K)
     logger.warning(
         "Landmark kernel is singular at f32; pruning %d "
@@ -307,7 +313,12 @@ def _process_sigma(sigma, r, A, jitter=DEFAULT_JITTER):
         logger.info("Sigma interpreted as full covariance matrix.")
         L_s = jnp.linalg.cholesky(stabilize(sigma, jitter))
         r_l = solve_triangular(L_s.T, solve_triangular(L_s, r, lower=True))
-        A_l = solve_triangular(L_s.T, solve_triangular(L_s, A, lower=True))
+        # whiten A's observation axis (columns): A is (m, n) while L_s is
+        # (n, n), so the solve runs against A.T (the reference's own branch
+        # is shape-inconsistent here for m != n, mellon/conditional.py:175)
+        A_l = solve_triangular(
+            L_s.T, solve_triangular(L_s, A.T, lower=True)
+        ).T
     else:
         raise ValueError("Unsupported sigma configuration.")
     return r_l, A_l
@@ -335,6 +346,11 @@ def _hat_diagonal(B, K_uu, sigma, jitter):
     host in float64 when it leaves [0, 1] — the same rescue discipline as
     the conditional weights, self-validating so it also protects
     deserialized predictors."""
+    if jnp.ndim(sigma) >= 2:
+        raise ValueError(
+            "Leverage with a per-observation (n, p) sigma is not "
+            "supported; supply a scalar or per-feature sigma."
+        )
     sigma_vec = jnp.atleast_1d(jnp.asarray(sigma))
     per_feature = sigma_vec.shape[0] > 1 or jnp.ndim(sigma) == 1
 
@@ -349,7 +365,9 @@ def _hat_diagonal(B, K_uu, sigma, jitter):
     if h.dtype == jnp.float64:
         return h
     tol = 1e-3
-    if not bool(jnp.any((h < -tol) | (h > 1 + tol))):
+    # jnp.all of the in-range test (not jnp.any of the violation) so NaN/Inf
+    # results also fail the check and take the rescue
+    if bool(jnp.all((h >= -tol) & (h <= 1 + tol))):
         return h
     import numpy as np
 
@@ -366,7 +384,8 @@ def _hat_diagonal(B, K_uu, sigma, jitter):
         M64 = s**2 * K64 + B64.T @ B64 + float(jitter) * eye
         cols.append(np.sum(B64 @ np.linalg.inv(M64) * B64, axis=1))
     h64 = np.stack(cols, axis=1) if per_feature else cols[0]
-    return jnp.asarray(np.clip(h64, 0.0, 1.0), dtype=h.dtype)
+    # upper bound strictly below 1: the HC3 correction divides by (1-h)²
+    return jnp.asarray(np.clip(h64, 0.0, 1.0 - 1e-6), dtype=h.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -624,6 +643,7 @@ class _LandmarksConditional:
         per_feature = _is_per_feature_sigma(sigma, y)
 
         host_rescued = False
+        host64 = None
         if Lp is None:
             from ..ops.linalg import _jittered_cholesky
 
@@ -640,7 +660,7 @@ class _LandmarksConditional:
                             "the conditional weights on the host in float64."
                         )
                         Kuf = cov_func(xu, x)
-                        w64, LB64, Lp64 = _host_f64_landmarks_weights(
+                        w64, LB64, Lp64, A64 = _host_f64_landmarks_weights(
                             K, Kuf, y - mu, sigma, jitter,
                             y_is_mean, per_feature,
                         )
@@ -650,10 +670,15 @@ class _LandmarksConditional:
                             else jnp.asarray(LB64, dtype=K.dtype)
                         )
                         Lp = jnp.asarray(Lp64, dtype=K.dtype)
-                        A = solve_triangular(Lp, Kuf, lower=True)
+                        # the accurate f64 solve, rounded for storage — NOT
+                        # an f32 re-solve against the ill-conditioned factor
+                        A = jnp.asarray(A64, dtype=K.dtype)
+                        host64 = (Lp64, LB64, A64, K)
                         host_rescued = True
                     else:
-                        xu, Lp = _landmarks_lp_with_pruning(xu, cov_func, jitter)
+                        xu, Lp = _landmarks_lp_with_pruning(
+                            xu, cov_func, jitter, K=K, known_singular=True
+                        )
             else:
                 Lp = _get_L(xu, cov_func, jitter, K=K)
 
@@ -722,7 +747,9 @@ class _LandmarksConditional:
 
         if obs_variance:
             self._compute_obs_variance(
-                x, y, xu, mu, cov_func, sigma, jitter, weights, Lp, Kuf, A
+                x, y, xu, mu, cov_func, sigma, jitter, weights, Lp, Kuf, A,
+                host64=host64 if host_rescued else None,
+                per_feature=per_feature,
             )
 
         if not with_uncertainty:
@@ -732,7 +759,11 @@ class _LandmarksConditional:
         self._state_variables.add("L")
 
         if not per_feature:
-            Cs = _hp(Lp, L_B)
+            if host_rescued:
+                # keep the product in f64 (both factors came from the host)
+                Cs = jnp.asarray(host64[0] @ host64[1], dtype=Lp.dtype)
+            else:
+                Cs = _hp(Lp, L_B)
             self.Cs = Cs
             self._state_variables.add("Cs")
 
@@ -740,16 +771,38 @@ class _LandmarksConditional:
             return
 
         y_l = y_cov_factor
-        C = solve_triangular(L_B, _hp(A, y_l), lower=True)
-        Z = solve_triangular(L_B.T, C)
-        W = solve_triangular(Lp.T, Z)
+        if host_rescued:
+            # parameter-uncertainty factor through the accurate f64 solves
+            import numpy as _np
+
+            try:
+                from scipy.linalg import solve_triangular as _np_trsm
+            except Exception:  # pragma: no cover
+                def _np_trsm(a, b, lower=False):
+                    return _np.linalg.solve(a if lower else a, b)
+
+            Lp64, LB64, A64, _ = host64
+            y64 = _np.asarray(y_l, dtype=_np.float64)
+            C64 = _np_trsm(LB64, A64 @ y64, lower=True)
+            Z64 = _np_trsm(LB64.T, C64)
+            W = jnp.asarray(_np_trsm(Lp64.T, Z64), dtype=Lp.dtype)
+        else:
+            C = solve_triangular(L_B, _hp(A, y_l), lower=True)
+            Z = solve_triangular(L_B.T, C)
+            W = solve_triangular(Lp.T, Z)
         self.W = W
         self._state_variables.add("W")
 
     def _compute_obs_variance(
-        self, x, y, xu, mu, cov_func, sigma, jitter, weights, Lp, Kuf, A
+        self, x, y, xu, mu, cov_func, sigma, jitter, weights, Lp, Kuf, A,
+        host64=None, per_feature=False,
     ):
-        """Parity: ``mellon/conditional.py:589-649``."""
+        """Parity: ``mellon/conditional.py:589-649``.
+
+        ``host64`` carries the (Lp, L_B, A, K) float64 factors when the
+        conditional was host-rescued (f32-singular landmark kernel): the
+        second-GP variance-weight solve then also runs on the host so it
+        is not corrupted by the very conditioning the rescue avoids."""
         prediction = mu + _hp(Kuf.T, weights)
         B = Kuf.T  # n x m
         K_uu = _hp(Lp, Lp.T)
@@ -767,7 +820,13 @@ class _LandmarksConditional:
         corrected_r2 = residual**2 / (1 - h) ** 2
 
         variance_mu = 0.0
-        if jnp.ndim(sigma) >= 1:
+        if host64 is not None:
+            vw64, _, _, _ = _host_f64_landmarks_weights(
+                host64[3], Kuf, corrected_r2 - variance_mu, sigma, jitter,
+                False, per_feature,
+            )
+            variance_weights = jnp.asarray(vw64, dtype=Lp.dtype)
+        elif jnp.ndim(sigma) >= 1:
             sigma_pf = _normalize_per_feature_sigma(sigma)
             r_var = corrected_r2 - variance_mu
 

@@ -96,7 +96,15 @@ def minimize_lbfgsb(
     0.9999 / rmse 1.7% of the spread vs the single-phase f32 solve —
     opt-in, intended for bandwidth-bound (atlas-scale) fits.
     """
-    if precision == "bf16" and loss_args:
+    if precision == "bf16" and not loss_args:
+        # bf16 storage only applies to threaded operands; a closure-style
+        # loss has nothing to cast, so run the standard single-phase solve
+        logger.info(
+            "precision='bf16' has no effect without operand-threaded "
+            "loss_args; running the single-phase f32 solve."
+        )
+        precision = None
+    if precision == "bf16":
         coarse_args = tuple(
             a.astype(jnp.bfloat16)
             if getattr(a, "ndim", 0) == 2 and a.dtype == jnp.float32

@@ -23,10 +23,9 @@ DEFAULT_ASSIGN_BLOCK = 4096
 def _assign(x, centroids, block_size):
     """Nearest-centroid index per row of x, computed in row blocks.
 
-    Uses the fast-precision squared-distance form: only the argmin matters
-    here, so the MXU default precision suffices (utils.util.distance runs
-    at HIGHEST precision for kernel accuracy, which assignment doesn't
-    need)."""
+    Uses the matmul squared-distance form without the epsilon/sqrt of
+    ``utils.util.distance``: only the argmin matters here, and dropping the
+    per-row constant |x|² halves the elementwise work."""
     n = x.shape[0]
     n_blocks = -(-n // block_size)
     pad = n_blocks * block_size - n

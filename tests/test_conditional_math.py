@@ -265,3 +265,88 @@ def test_host_rescue_leverage_stays_physical(singular_f32):
     # obs-variance built through the same hat diagonal stays finite
     ov = np.asarray(c._obs_variance(x32[:20]))
     assert np.all(np.isfinite(ov))
+
+
+def test_full_covariance_sigma_on_landmarks_path(setup):
+    """(n, n) covariance sigma on the sparse (m != n) conditional: the
+    whitening must run against A's observation axis (the reference's own
+    branch is shape-inconsistent here, mellon/conditional.py:175)."""
+    x, xu, xnew, y, cov = setup
+    n = x.shape[0]
+    rs = np.random.RandomState(9)
+    F = rs.randn(n, 3)
+    Sigma = F @ F.T * 0.01 + 0.05 * np.eye(n)
+    c = LandmarksConditional(x, xu, y, 0.0, cov, sigma=jnp.asarray(Sigma))
+    got = np.asarray(c._mean(xnew), dtype=np.float64)
+
+    # f64 ground truth
+    K = np.asarray(cov(xu, xu), dtype=np.float64)
+    Kuf = np.asarray(cov(xu, x), dtype=np.float64)
+    Lp = np.linalg.cholesky(K + float(c.jitter) * np.eye(K.shape[0]))
+    A = np.linalg.solve(Lp, Kuf)
+    L_s = np.linalg.cholesky(Sigma + float(c.jitter) * np.eye(n))
+    r_l = np.linalg.solve(L_s.T, np.linalg.solve(L_s, np.asarray(y)))
+    A_l = np.linalg.solve(L_s.T, np.linalg.solve(L_s, A.T)).T
+    L_B = np.linalg.cholesky(A_l @ A.T + np.eye(K.shape[0]))
+    cc = np.linalg.solve(L_B, A @ r_l)
+    w = np.linalg.solve(Lp.T, np.linalg.solve(L_B.T, cc))
+    expected = np.asarray(cov(xnew, xu), dtype=np.float64) @ w
+    scale = float(np.abs(expected).max())
+    np.testing.assert_allclose(got, expected, atol=1e-5 * scale)
+
+
+def test_host_rescue_rejects_lengthn_sigma_with_multioutput(singular_f32):
+    """(n,)-sigma with 2-D y is unsupported on the device path; the host
+    rescue must reject it identically instead of mis-broadcasting."""
+    from mellon_tpu.inference.conditionals import _host_f64_landmarks_weights
+
+    x32, xu32, y32, cov = singular_f32
+    n = x32.shape[0]
+    Y = jnp.stack([y32, -y32], axis=1)
+    K = cov(xu32, xu32)
+    Kuf = cov(xu32, x32)
+    with pytest.raises(ValueError, match="sigma"):
+        _host_f64_landmarks_weights(
+            K, Kuf, Y, jnp.full((n,), 0.1), 1e-6, False, False
+        )
+
+
+def test_host_rescue_uncertainty_factors_accurate(singular_f32):
+    """with_uncertainty through the host rescue: W comes from the f64
+    factors, so mean_covariance matches an independent f64 computation."""
+    x32, xu32, y32, cov = singular_f32
+    m = xu32.shape[0]
+    rs = np.random.RandomState(13)
+    y_cov_factor = jnp.asarray(
+        np.diag(0.1 + 0.1 * rs.rand(x32.shape[0])), dtype=jnp.float32
+    )
+    c = LandmarksConditional(
+        x32, xu32, y32, 0.0, cov, sigma=0.1,
+        y_is_mean=True, with_uncertainty=True, y_cov_factor=y_cov_factor,
+    )
+    mc = np.asarray(c._mean_covariance(x32[:30], diag=True))
+    assert np.all(np.isfinite(mc))
+    assert np.all(mc >= -1e-6)
+
+    # independent f64 W
+    K = np.asarray(cov(xu32, xu32), dtype=np.float64)
+    Kuf = np.asarray(cov(xu32, x32), dtype=np.float64)
+    jit64 = 1e-12
+    while True:
+        try:
+            Lp = np.linalg.cholesky(K + jit64 * np.eye(m))
+            break
+        except np.linalg.LinAlgError:
+            jit64 *= 10
+    A = np.linalg.solve(Lp, Kuf)
+    L_B = np.linalg.cholesky(A @ A.T + np.eye(m))
+    yl = np.asarray(y_cov_factor, dtype=np.float64)
+    W = np.linalg.solve(
+        Lp.T, np.linalg.solve(L_B.T, np.linalg.solve(L_B, A @ yl))
+    )
+    Ksu = np.asarray(cov(x32[:30], xu32), dtype=np.float64)
+    expected = np.sum((Ksu @ W) ** 2, axis=1)
+    scale = float(np.abs(expected).max())
+    np.testing.assert_allclose(
+        np.asarray(mc, dtype=np.float64), expected, atol=5e-3 * scale
+    )

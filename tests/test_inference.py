@@ -174,3 +174,16 @@ def test_lbfgs_bf16_two_phase_matches_f32():
 
     with pytest.raises(ValueError, match="precision"):
         minimize_lbfgsb(density_loss, z0, loss_args=args, precision="int8")
+
+
+def test_lbfgs_bf16_without_loss_args_falls_back():
+    """precision="bf16" with a closure-style loss (no threaded operands)
+    must run the standard single-phase solve, not crash."""
+    from mellon_tpu.inference.optimizers import minimize_lbfgsb
+
+    res = minimize_lbfgsb(
+        lambda z: jnp.sum((z - 3.0) ** 2), jnp.zeros(4), precision="bf16"
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.pre_transformation), np.full(4, 3.0), atol=1e-4
+    )
