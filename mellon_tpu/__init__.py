@@ -29,6 +29,7 @@ from . import inference
 from . import models as model
 from .inference import conditionals as conditional
 from .inference import derivatives
+from .ops import linalg as decomposition
 from .utils.util import set_verbosity
 
 # Register the legacy namespace aliases as importable module paths so
@@ -42,18 +43,56 @@ for _name, _mod in (
     ("conditional", conditional),
     ("validation", validation),
     ("derivatives", derivatives),
+    ("decomposition", decomposition),
 ):
     sys.modules[__name__ + "." + _name] = _mod
 
-logger = logging.getLogger("mellon_tpu")
-if not logger.handlers:
-    _handler = logging.StreamHandler(sys.stdout)
-    _handler.setFormatter(
-        logging.Formatter("[%(asctime)s] [%(levelname)-8s] %(message)s")
-    )
-    logger.addHandler(_handler)
-    logger.setLevel(logging.INFO)
-    logger.propagate = False
+# Default logging configuration in the reference's dictConfig shape
+# (cf. ``mellon/__init__.py:62-105``), under this package's logger name.
+LOGGING_CONFIG = {
+    "version": 1,
+    "disable_existing_loggers": False,
+    "formatters": {
+        "standard": {
+            "format": "[%(asctime)s] [%(levelname)-8s] %(message)s",
+        },
+    },
+    "handlers": {
+        "console": {
+            "level": "DEBUG",
+            "class": "logging.StreamHandler",
+            "formatter": "standard",
+            "stream": sys.stdout,
+        },
+    },
+    "loggers": {
+        "mellon_tpu": {
+            "handlers": ["console"],
+            "level": "INFO",
+            "propagate": False,
+        },
+    },
+}
+
+
+def setup_logging(config=None):
+    """Set up logging and return the package logger.
+
+    Parameters
+    ----------
+    config : dict, optional
+        ``logging.config.dictConfig`` dictionary; defaults to
+        :data:`LOGGING_CONFIG` (cf. reference ``mellon/__init__.py:89-105``).
+    """
+    import logging.config
+
+    if config is None:
+        config = LOGGING_CONFIG
+    logging.config.dictConfig(config)
+    return logging.getLogger("mellon_tpu")
+
+
+logger = setup_logging()
 
 __all__ = [
     "DensityEstimator",
@@ -71,8 +110,10 @@ __all__ = [
     "parameters",
     "inference",
     "conditional",
+    "decomposition",
     "derivatives",
     "validation",
     "logger",
+    "setup_logging",
     "set_verbosity",
 ]
