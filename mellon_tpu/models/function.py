@@ -14,7 +14,12 @@ from ..inference.optimizers import (
     DEFAULT_OPTIMIZER,
 )
 from ..parameters import DEFAULT_RANDOM_SEED
-from ..utils.util import DEFAULT_JITTER, GaussianProcessType, object_str
+from ..utils.util import (
+    DEFAULT_JITTER,
+    GaussianProcessType,
+    object_html,
+    object_str,
+)
 from ..utils.validation import (
     validate_array,
     validate_bool,
@@ -111,6 +116,29 @@ class FunctionEstimator(BaseEstimator):
             f"\n    y_is_mean={self.y_is_mean},"
             "\n)"
         )
+
+    def _repr_html_(self):
+        header = """
+        <h2>Function Estimator</h2>
+        <p><em>Conditional-mean smoothing of observed function values over
+        cell states using a Gaussian Process.</em></p>
+        """
+        core = f"""
+        <h3>Core Attributes</h3>
+        <ul>
+            <li><strong>Covariance Function:</strong> {object_html(self.cov_func or 'Not Set')}</li>
+            <li><strong>Number of Landmarks:</strong> {self.n_landmarks or 'Not Set'}</li>
+            <li><strong>Gaussian Process Type:</strong> {self.gp_type or 'Not Set'}</li>
+            <li><strong>Noise Standard Deviation (σ):</strong> {object_html(self.sigma)}</li>
+            <li><strong>Predictor with Uncertainty:</strong> {'Yes' if self.predictor_with_uncertainty else 'No'}</li>
+        </ul>
+        """
+        status = (
+            "<p style='color:green;'><strong>Predictor:</strong> Available</p>"
+            if getattr(self, "conditional", None)
+            else "<p style='color:red;'><strong>Predictor:</strong> Not Yet Computed</p>"
+        )
+        return header + core + status
 
     def prepare_inference(self, x):
         """Prepare attributes (no optimization step exists)
