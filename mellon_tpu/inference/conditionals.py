@@ -334,34 +334,82 @@ def _sparse_solve(Lp, A, r_l, A_l):
     return weights, L_B
 
 
-def _hat_diagonal(B, K_uu, sigma, jitter):
-    """Sparse-GP hat diagonal h = diag(B M⁻¹ Bᵀ), M = sigma² K_uu + BᵀB,
-    validated against its physical range.
+def _leverage_sigma_is_per_feature(conditional, sigma, n_eval):
+    """Classify an ad-hoc leverage sigma as per-feature vs per-observation.
 
-    ``sigma`` is a scalar or a per-feature vector (p,) — vector input
-    returns (n, p).  When the landmark kernel is f32-singular, M inherits
-    the ~1e12 condition number and the f32 inverse corrupts h grossly
-    (observed h < -1; the HC3 obs-variance correction divides by (1-h)²).
-    The device result is therefore range-checked and recomputed on the
-    host in float64 when it leaves [0, 1] — the same rescue discipline as
-    the conditional weights, self-validating so it also protects
-    deserialized predictors."""
-    if jnp.ndim(sigma) >= 2:
-        raise ValueError(
-            "Leverage with a per-observation (n, p) sigma is not "
-            "supported; supply a scalar or per-feature sigma."
-        )
-    sigma_vec = jnp.atleast_1d(jnp.asarray(sigma))
-    per_feature = sigma_vec.shape[0] > 1 or jnp.ndim(sigma) == 1
+    ``_leverage(Xnew, sigma)`` accepts a sigma that may differ from the
+    constructor's, so the stored ``per_feature_sigma`` flag only applies
+    when the shapes match; otherwise a 1-D sigma whose length equals the
+    number of evaluation points is per-observation and anything else is
+    per-feature (mirroring ``_is_per_feature_sigma``'s shape rules)."""
+    if jnp.ndim(sigma) == 0:
+        return False
+    if jnp.ndim(sigma) == 2:
+        return True
+    stored = getattr(conditional, "sigma", None)
+    if (
+        stored is not None
+        and jnp.ndim(stored) == jnp.ndim(sigma)
+        and jnp.shape(stored) == jnp.shape(sigma)
+    ):
+        return bool(getattr(conditional, "per_feature_sigma", False))
+    if jnp.shape(sigma)[0] == n_eval:
+        return False
+    return True
 
-    def _dev_one(sigma_g):
+
+def _hat_diagonal(B, K_uu, sigma, jitter, per_feature=False):
+    """Sparse-GP hat diagonal, validated against its physical range.
+
+    Scalar sigma: h = diag(B M⁻¹ Bᵀ), M = sigma² K_uu + BᵀB.  Per-feature
+    sigma (p,) vmaps that over features and returns (n, p).  Per-observation
+    sigma (n,) uses the heteroscedastic form h = diag(B M⁻¹ Bᵀ D⁻¹) with
+    D = diag(sigma²), M = K_uu + Bᵀ D⁻¹ B (which reduces to the scalar
+    formula when all sigmas are equal); an (n, p) sigma vmaps that over
+    feature columns.  The dispatch is by the caller's explicit
+    ``per_feature`` flag — the reference dispatches on ``ndim(sigma)``
+    alone (``mellon/conditional.py:599-610``), silently treating a
+    per-observation (n,) sigma as per-feature and producing an (n, n)
+    leverage surface; deliberate fix.
+
+    When the landmark kernel is f32-singular, M inherits the ~1e12
+    condition number and the f32 inverse corrupts h grossly (observed
+    h < -1; the HC3 obs-variance correction divides by (1-h)²).  The
+    device result is therefore range-checked and recomputed on the host in
+    float64 when it leaves [0, 1] — the same rescue discipline as the
+    conditional weights, self-validating so it also protects deserialized
+    predictors."""
+    n = B.shape[0]
+
+    def _check_per_obs_length(k):
+        if k != n:
+            raise ValueError(
+                f"Per-observation sigma has length {k} but leverage is "
+                f"evaluated at {n} points; per-observation noise is only "
+                "defined at the training geometry."
+            )
+
+    def _dev_scalar(sigma_g):
         M = stabilize(sigma_g**2 * K_uu + _hp(B.T, B), jitter)
         return jnp.sum(_hp(B, jnp.linalg.inv(M)) * B, axis=1)
 
-    if per_feature:
-        h = jax.vmap(_dev_one)(sigma_vec).T
+    def _dev_per_obs(sigma_col):
+        inv_s2 = 1.0 / jnp.square(sigma_col)
+        Bw = B * inv_s2[:, None]
+        M = stabilize(K_uu + _hp(B.T, Bw), jitter)
+        return jnp.sum(_hp(B, jnp.linalg.inv(M)) * Bw, axis=1)
+
+    if per_feature and jnp.ndim(sigma) == 2:
+        _check_per_obs_length(sigma.shape[0])
+        h = jax.vmap(_dev_per_obs, in_axes=1, out_axes=1)(sigma)
+    elif per_feature:
+        h = jax.vmap(_dev_scalar)(jnp.atleast_1d(sigma)).T
+    elif jnp.ndim(sigma) >= 1:
+        sigma_obs = jnp.ravel(sigma)
+        _check_per_obs_length(sigma_obs.shape[0])
+        h = _dev_per_obs(sigma_obs)
     else:
-        h = _dev_one(sigma_vec[0])
+        h = _dev_scalar(sigma)
     if h.dtype == jnp.float64:
         return h
     tol = 1e-3
@@ -379,11 +427,25 @@ def _hat_diagonal(B, K_uu, sigma, jitter):
     K64 = np.asarray(K_uu, dtype=np.float64)
     m = K64.shape[0]
     eye = np.eye(m)
-    cols = []
-    for s in np.atleast_1d(np.asarray(sigma, dtype=np.float64)):
+    s64 = np.asarray(sigma, dtype=np.float64)
+
+    def _host_scalar(s):
         M64 = s**2 * K64 + B64.T @ B64 + float(jitter) * eye
-        cols.append(np.sum(B64 @ np.linalg.inv(M64) * B64, axis=1))
-    h64 = np.stack(cols, axis=1) if per_feature else cols[0]
+        return np.sum(B64 @ np.linalg.inv(M64) * B64, axis=1)
+
+    def _host_per_obs(s_col):
+        Bw64 = B64 / np.square(s_col)[:, None]
+        M64 = K64 + B64.T @ Bw64 + float(jitter) * eye
+        return np.sum(B64 @ np.linalg.inv(M64) * Bw64, axis=1)
+
+    if per_feature and s64.ndim == 2:
+        h64 = np.stack([_host_per_obs(s64[:, g]) for g in range(s64.shape[1])], axis=1)
+    elif per_feature:
+        h64 = np.stack([_host_scalar(s) for s in np.atleast_1d(s64)], axis=1)
+    elif s64.ndim >= 1:
+        h64 = _host_per_obs(s64.ravel())
+    else:
+        h64 = _host_scalar(s64)
     # upper bound strictly below 1: the HC3 correction divides by (1-h)²
     return jnp.asarray(np.clip(h64, 0.0, 1.0 - 1e-6), dtype=h.dtype)
 
@@ -465,7 +527,8 @@ class _FullConditional:
 
         if obs_variance:
             self._compute_obs_variance(
-                x, y, mu, cov_func, original_sigma, jitter, weights, K
+                x, y, mu, cov_func, original_sigma, jitter, weights, K,
+                per_feature=per_feature,
             )
 
         if not with_uncertainty:
@@ -488,30 +551,36 @@ class _FullConditional:
             self.W = W
             self._state_variables.add("W")
 
-    def _compute_obs_variance(self, x, y, mu, cov_func, sigma, jitter, weights, K):
+    def _compute_obs_variance(
+        self, x, y, mu, cov_func, sigma, jitter, weights, K, per_feature=False
+    ):
         """HC3-corrected residuals smoothed by a second GP
-        (parity: ``mellon/conditional.py:308-364``)."""
+        (parity: ``mellon/conditional.py:308-364``).
+
+        Deliberate fixes over the reference: dispatch is by the explicit
+        ``per_feature`` flag rather than ``ndim(sigma)`` (a per-observation
+        (n,) sigma is heteroscedastic noise, handled by the scalar formulas
+        element-wise — ``sigma**2 * eye(n)`` broadcasts to diag(sigma²)),
+        and the (n, p) per-feature solve vmaps sigma over its FEATURE axis
+        (the reference's ``in_axes=(0, 1)`` at ``mellon/conditional.py:352``
+        maps sigma over observations, crashing for n != p)."""
         n = x.shape[0]
         prediction = mu + _hp(K, weights)
 
-        if jnp.ndim(sigma) >= 1:
+        def _lev_one(sigma_g):
+            L = jnp.linalg.cholesky(
+                stabilize(K + sigma_g**2 * jnp.eye(n), jitter)
+            )
+            Linv = solve_triangular(L, jnp.eye(n), lower=True)
+            return 1 - sigma_g**2 * jnp.sum(jnp.square(Linv), axis=0)
+
+        if per_feature:
             sigma_pf = _normalize_per_feature_sigma(sigma)
-
-            def _lev_one(sigma_g):
-                L = jnp.linalg.cholesky(
-                    stabilize(K + sigma_g**2 * jnp.eye(n), jitter)
-                )
-                Linv = solve_triangular(L, jnp.eye(n), lower=True)
-                return 1 - sigma_g**2 * jnp.sum(jnp.square(Linv), axis=0)
-
             sigma_in_axis = 1 if jnp.ndim(sigma_pf) == 2 else 0
             h = jax.vmap(_lev_one, in_axes=sigma_in_axis, out_axes=1)(sigma_pf)
         else:
-            L_lev = jnp.linalg.cholesky(
-                stabilize(K + sigma**2 * jnp.eye(n), jitter)
-            )
-            Linv = solve_triangular(L_lev, jnp.eye(n), lower=True)
-            h = 1 - sigma**2 * jnp.sum(jnp.square(Linv), axis=0)
+            sigma_eff = sigma if jnp.ndim(sigma) == 0 else jnp.ravel(sigma)
+            h = _lev_one(sigma_eff)
 
         residual = y - prediction
         if residual.ndim > h.ndim:
@@ -519,29 +588,25 @@ class _FullConditional:
         corrected_r2 = residual**2 / (1 - h) ** 2
 
         variance_mu = 0.0
-        if jnp.ndim(sigma) >= 1:
-            sigma_pf = _normalize_per_feature_sigma(sigma)
 
-            def _var_solve_one(sigma_g, cr2_g):
-                L_var = jnp.linalg.cholesky(
-                    stabilize(K + sigma_g**2 * jnp.eye(n), jitter)
-                )
-                return solve_triangular(
-                    L_var.T,
-                    solve_triangular(L_var, cr2_g - variance_mu, lower=True),
-                )
-
-            variance_weights = jax.vmap(_var_solve_one, in_axes=(0, 1), out_axes=1)(
-                sigma_pf, corrected_r2
-            )
-        else:
+        def _var_solve_one(sigma_g, cr2_g):
             L_var = jnp.linalg.cholesky(
-                stabilize(K + sigma**2 * jnp.eye(n), jitter)
+                stabilize(K + sigma_g**2 * jnp.eye(n), jitter)
             )
-            variance_weights = solve_triangular(
+            return solve_triangular(
                 L_var.T,
-                solve_triangular(L_var, corrected_r2 - variance_mu, lower=True),
+                solve_triangular(L_var, cr2_g - variance_mu, lower=True),
             )
+
+        if per_feature:
+            sigma_pf = _normalize_per_feature_sigma(sigma)
+            sigma_in_axis = 1 if jnp.ndim(sigma_pf) == 2 else 0
+            variance_weights = jax.vmap(
+                _var_solve_one, in_axes=(sigma_in_axis, 1), out_axes=1
+            )(sigma_pf, corrected_r2)
+        else:
+            sigma_eff = sigma if jnp.ndim(sigma) == 0 else jnp.ravel(sigma)
+            variance_weights = _var_solve_one(sigma_eff, corrected_r2)
 
         self.variance_weights = variance_weights
         self.variance_mu = variance_mu
@@ -555,27 +620,33 @@ class _FullConditional:
 
     def _leverage(self, Xnew, sigma):
         """h = 1 - sigma² diag((K + sigma² I)⁻¹) at the training geometry
-        (parity: ``mellon/conditional.py:375-400``)."""
+        (parity: ``mellon/conditional.py:375-400``).
+
+        Deliberate fixes over the reference: dispatch by the stored
+        ``per_feature_sigma`` flag (a per-observation (n,) sigma takes the
+        scalar formula element-wise instead of being vmapped into an
+        (n, n) surface), and 2-D per-feature sigma vmaps over its feature
+        axis (the reference's default axis-0 vmap at
+        ``mellon/conditional.py:397`` crashes for (n, p) sigma)."""
         x = self.x
         jitter = self.jitter
         n = x.shape[0]
         K_train = self.cov_func(x, x)
 
-        if jnp.ndim(sigma) >= 1:
+        def _lev_one(sigma_g):
+            L = jnp.linalg.cholesky(
+                stabilize(K_train + sigma_g**2 * jnp.eye(n), jitter)
+            )
+            Linv = solve_triangular(L, jnp.eye(n), lower=True)
+            return 1 - sigma_g**2 * jnp.sum(jnp.square(Linv), axis=0)
+
+        if _leverage_sigma_is_per_feature(self, sigma, n):
             sigma = _normalize_per_feature_sigma(sigma)
+            sigma_in_axis = 1 if jnp.ndim(sigma) == 2 else 0
+            return jax.vmap(_lev_one, in_axes=sigma_in_axis)(sigma).T
 
-            def _lev_one(sigma_g):
-                L = jnp.linalg.cholesky(
-                    stabilize(K_train + sigma_g**2 * jnp.eye(n), jitter)
-                )
-                Linv = solve_triangular(L, jnp.eye(n), lower=True)
-                return 1 - sigma_g**2 * jnp.sum(jnp.square(Linv), axis=0)
-
-            return jax.vmap(_lev_one)(sigma).T
-
-        L = jnp.linalg.cholesky(stabilize(K_train + sigma**2 * jnp.eye(n), jitter))
-        Linv = solve_triangular(L, jnp.eye(n), lower=True)
-        return 1 - sigma**2 * jnp.sum(jnp.square(Linv), axis=0)
+        sigma_eff = sigma if jnp.ndim(sigma) == 0 else jnp.ravel(sigma)
+        return _lev_one(sigma_eff)
 
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)
@@ -770,7 +841,23 @@ class _LandmarksConditional:
         if not y_is_mean:
             return
 
-        y_l = y_cov_factor
+        if per_feature:
+            # same contract as _FullConditional: no parameter-uncertainty
+            # factor W for per-feature sigma (the per-feature solves have no
+            # shared L_B); mean_covariance raises via _check_uncertainty.
+            # The reference instead crashes here with an undefined L_B
+            # (``mellon/conditional.py:583``); deliberate fix.
+            return
+
+        # Lift sigma to a covariance factor when no explicit factor was
+        # given — the reference uses y_cov_factor unconditionally and
+        # crashes on None (``mellon/conditional.py:582-584``);
+        # _FullConditional lifts it the same way (deliberate fix).
+        y_l = (
+            y_cov_factor
+            if y_cov_factor is not None
+            else _sigma_to_y_cov_factor(sigma, None, x.shape[0])
+        )
         if host_rescued:
             # parameter-uncertainty factor through the accurate f64 solves
             import numpy as _np
@@ -809,10 +896,10 @@ class _LandmarksConditional:
 
         sigma_h = (
             _normalize_per_feature_sigma(sigma)
-            if jnp.ndim(sigma) >= 1
+            if per_feature
             else sigma
         )
-        h = _hat_diagonal(B, K_uu, sigma_h, jitter)
+        h = _hat_diagonal(B, K_uu, sigma_h, jitter, per_feature=per_feature)
 
         residual = y - prediction
         if residual.ndim > h.ndim:
@@ -826,7 +913,11 @@ class _LandmarksConditional:
                 False, per_feature,
             )
             variance_weights = jnp.asarray(vw64, dtype=Lp.dtype)
-        elif jnp.ndim(sigma) >= 1:
+        elif per_feature:
+            # dispatch mirrors the weights solve above; the reference vmaps
+            # sigma over axis 0 for ANY ndim>=1 (``mellon/conditional.py:
+            # 638-641``), which maps an (n, p) sigma over observations and
+            # misroutes per-observation (n,) sigma entirely (deliberate fix)
             sigma_pf = _normalize_per_feature_sigma(sigma)
             r_var = corrected_r2 - variance_mu
 
@@ -837,8 +928,9 @@ class _LandmarksConditional:
                 w, _ = _sparse_solve(Lp, A, r_l, A_l)
                 return w
 
+            sigma_in_axis = 1 if jnp.ndim(sigma_pf) == 2 else 0
             variance_weights = jax.vmap(
-                _var_solve_one, in_axes=(0, 1), out_axes=1
+                _var_solve_one, in_axes=(sigma_in_axis, 1), out_axes=1
             )(sigma_pf, r_var)
         else:
             r_var = corrected_r2 - variance_mu
@@ -866,9 +958,10 @@ class _LandmarksConditional:
         else:
             K_uu = self.cov_func(xu, xu)
 
-        if jnp.ndim(sigma) >= 1:
+        per_feature = _leverage_sigma_is_per_feature(self, sigma, B.shape[0])
+        if per_feature:
             sigma = _normalize_per_feature_sigma(sigma)
-        return _hat_diagonal(B, K_uu, sigma, jitter)
+        return _hat_diagonal(B, K_uu, sigma, jitter, per_feature=per_feature)
 
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)
@@ -1041,7 +1134,10 @@ class _LandmarksConditionalCholesky:
             K_uu = _hp(self.L, self.L.T)
         else:
             K_uu = self.cov_func(xu, xu)
-        return _hat_diagonal(B, K_uu, sigma, jitter)
+        # this family has no per-feature sigma concept (sigma here is the
+        # scalar noise passed through compute_conditional); a latent-std
+        # vector would be rejected by _hat_diagonal's length check
+        return _hat_diagonal(B, K_uu, sigma, jitter, per_feature=False)
 
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)

@@ -113,6 +113,10 @@ def compute_conditional(
             mu,
             cov_func,
             L,
+            # forward the landmark Cholesky so the conditional skips its own
+            # k(xu,xu) + m³ factorization; the reference drops Lp here and
+            # passes only the dead L parameter (``mellon/inference.py:495``)
+            Lp=Lp,
             sigma=sigma,
             jitter=jitter,
             y_cov_factor=y_cov_factor,
@@ -191,6 +195,7 @@ def compute_conditional_times(
             y,
             mu,
             cov_func,
+            Lp=Lp,
             sigma=sigma,
             jitter=jitter,
             y_cov_factor=y_cov_factor,
@@ -271,6 +276,7 @@ def compute_conditional_explog(
             y,
             mu,
             cov_func,
+            Lp=Lp,
             sigma=sigma,
             jitter=jitter,
             y_cov_factor=y_cov_factor,

@@ -403,8 +403,12 @@ def nuts_kernel(potential_fn, max_tree_depth=10, divergence_threshold=1000.0):
 
         tree, depth, _ = jax.lax.while_loop(cond, body, (tree, 0, key_tree))
 
-        _, grad = jax.value_and_grad(potential_fn)(tree.z_proposal)
-        new_state = HMCState(tree.z_proposal, tree.potential_proposal, grad)
+        # grad_proposal is threaded through the tree for exactly this hand-off
+        # — recomputing value_and_grad here would add one leapfrog-equivalent
+        # of wasted work per transition in the sampling hot loop
+        new_state = HMCState(
+            tree.z_proposal, tree.potential_proposal, tree.grad_proposal
+        )
         accept_prob = tree.sum_accept_prob / jnp.maximum(tree.num_steps, 1)
         info = HMCInfo(
             accept_prob, tree.diverging, tree.num_steps,

@@ -157,6 +157,13 @@ def run_smc(
     Returns an :class:`SMCResult`; ``log_evidence`` estimates
     log ∫ prior(z) exp(loglik(z)) dz.
     """
+    if (prior_sample is None) != (prior_logpdf is None):
+        raise ValueError(
+            "Custom priors require BOTH prior_sample and prior_logpdf: with "
+            "only one of them the tempering weights and HMC mutations would "
+            "silently target the default N(0, I) prior, biasing the "
+            "posterior and evidence estimates."
+        )
     key, sub = jax.random.split(key)
     if prior_sample is None:
         particles = jax.random.normal(sub, (num_particles, dim))

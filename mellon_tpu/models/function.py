@@ -177,6 +177,19 @@ class FunctionEstimator(BaseEstimator):
             raise ValueError("Required argument y is missing.")
         if obs_variance is None:
             obs_variance = self.obs_variance
+        # Reuse the landmark Cholesky across repeated conditioning calls
+        # (fit_predict in a gene-trend loop re-pays the m³ factorization in
+        # the reference, which always passes Lp=None here,
+        # ``mellon/function_estimator.py:357-374``).  compute_Lp uses
+        # sigma=0, matching the noise-free Lp the conditional would build.
+        Lp_arg = None
+        if (
+            self.landmarks is not None
+            and self.gp_type
+            in (GaussianProcessType.SPARSE_CHOLESKY, GaussianProcessType.FIXED)
+        ):
+            self._prepare_attribute("Lp")
+            Lp_arg = self.Lp
         conditional = compute_conditional(
             x,
             self.landmarks,
@@ -186,7 +199,7 @@ class FunctionEstimator(BaseEstimator):
             self.mu,
             self.cov_func,
             None,
-            None,
+            Lp_arg,
             self.sigma,
             jitter=self.jitter,
             y_is_mean=self.y_is_mean,

@@ -122,8 +122,18 @@ def _eigendecomposition(A, rank=DEFAULT_RANK):
     rank data-dependent, and a data-dependent output shape would force a
     fresh compile + program load of every downstream executable on each
     fit (measured 33 s/fit at tutorial scale through the TPU relay vs
-    sub-second with stable shapes).  The bucket keeps at least the
-    requested eigenvalue mass — never less — so accuracy only improves."""
+    sub-second with stable shapes).  The bucket never keeps fewer
+    eigenpairs than the reference's searchsorted selection, so accuracy
+    only improves over the parity behavior.  (Note the searchsorted
+    convention itself, kept for parity, selects the largest rank whose
+    cumulative mass is strictly BELOW the target — the selected pairs can
+    fall one eigenvalue short of the requested mass, and the reference's
+    "Recovering X% variance" log reports the mass of p+1 pairs,
+    ``mellon/decomposition.py:62-72``.)
+
+    A matrix with no positive eigenvalues raises a ValueError with jitter
+    advice — the reference crashes with an opaque IndexError on the empty
+    cumulative sum (``mellon/decomposition.py:58-62``); deliberate fix."""
     s, v = jnp.linalg.eigh(A)
     # one transfer for every scalar the selection logic needs (each
     # bool()/int() on a device value is a blocking round trip)
@@ -136,6 +146,13 @@ def _eigendecomposition(A, rank=DEFAULT_RANK):
             "This can complicated prediction. Consider raising the jitter."
         )
     p = int(n_pos)
+    if p == 0:
+        message = (
+            "Covariance matrix has no positive eigenvalues; cannot compute "
+            "a low-rank factorization. Consider raising the jitter."
+        )
+        logger.error(message)
+        raise ValueError(message)
     summed = jnp.cumsum(s[: -p - 1 : -1])
     if isinstance(rank, float):
         target = summed[-1] * rank

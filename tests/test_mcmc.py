@@ -320,3 +320,29 @@ def test_nuts_non_gaussian_target():
     np.testing.assert_allclose(
         s["std"][0], np.sqrt(polygamma(1, 3.0)), rtol=0.08
     )
+
+
+def test_nuts_step_returns_gradient_at_proposal():
+    """The transition hands off tree.grad_proposal as the new state's
+    gradient (no recompute); it must equal grad(potential) at the returned
+    position or the NEXT transition's first leapfrog would be corrupted."""
+    from mellon_tpu.inference.samplers import hmc_init, nuts_kernel
+
+    def potential(z):
+        return 0.5 * jnp.sum(z**2 * jnp.arange(1.0, 4.0))
+
+    step = nuts_kernel(potential, max_tree_depth=6)
+    state = hmc_init(potential, jnp.asarray([0.5, -1.0, 2.0]))
+    inv_mass = jnp.ones(3)
+    key = jax.random.PRNGKey(3)
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        state, _ = step(state, sub, 0.2, inv_mass)
+        np.testing.assert_allclose(
+            np.asarray(state.grad),
+            np.asarray(jax.grad(potential)(state.z)),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(state.potential), float(potential(state.z)), rtol=1e-6
+        )

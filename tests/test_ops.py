@@ -332,3 +332,40 @@ def test_knn_streamed_column_path_matches_single_strip():
     d_str, i_str = knn(x, 5, col_block=64)  # 233 cols -> 4 strips with tail
     np.testing.assert_allclose(np.asarray(d_str), np.asarray(d_full), atol=1e-10)
     np.testing.assert_array_equal(np.asarray(i_str), np.asarray(i_full))
+
+
+def test_eigendecomposition_no_positive_eigenvalues_raises():
+    """A matrix without positive eigenvalues must raise with jitter advice
+    (the reference crashes with an opaque IndexError on the empty cumsum,
+    ``mellon/decomposition.py:58-62``), for float and int ranks alike."""
+    Z = jnp.zeros((6, 6))
+    with pytest.raises(ValueError, match="no positive eigenvalues"):
+        _eigendecomposition(Z, rank=0.99)
+    with pytest.raises(ValueError, match="no positive eigenvalues"):
+        _eigendecomposition(Z, rank=3)
+
+
+def test_factory_forwards_lp_to_landmarks_conditional():
+    """compute_conditional must forward Lp so the landmarks conditional
+    skips rebuilding the m×m landmark Cholesky (the reference drops it,
+    ``mellon/inference.py:495``); predictions are identical either way."""
+    from mellon_tpu.inference.factories import compute_conditional
+    from mellon_tpu.ops.kernels import Matern52
+    from mellon_tpu.ops.linalg import _full_rank
+
+    key = jax.random.PRNGKey(12)
+    x = jax.random.uniform(key, (40, 2), minval=-2, maxval=2)
+    xu = x[::4]
+    y = jnp.sin(x[:, 0])
+    cov = Matern52(1.0)
+    Lp = _full_rank(xu, cov, jitter=1e-6)
+    kwargs = dict(sigma=0.1, jitter=1e-6, y_is_mean=False)
+    c_with = compute_conditional(
+        x, xu, None, None, y, 0.0, cov, None, Lp, **kwargs
+    )
+    c_without = compute_conditional(
+        x, xu, None, None, y, 0.0, cov, None, None, **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_with._mean(x)), np.asarray(c_without._mean(x)), atol=1e-6
+    )

@@ -173,3 +173,111 @@ def test_fit_obs_variance_override(data):
     est = FunctionEstimator(sigma=0.1, n_landmarks=15)
     est.fit(x, y, obs_variance=True)
     assert np.all(np.isfinite(np.asarray(est.get_obs_variance(x))))
+
+
+# --- review-fix regressions: sigma-shape dispatch in leverage/obs-variance ---
+
+
+def test_per_observation_sigma_leverage_shape_full():
+    """A per-observation (n,) sigma with 1-D y must yield an (n,) leverage
+    and obs_variance surface, not (n, n) (reference dispatches on ndim alone,
+    ``mellon/conditional.py:599-610``)."""
+    key = jax.random.PRNGKey(7)
+    n = 12
+    x = jax.random.uniform(key, (n, 2), minval=-2, maxval=2)
+    y = jnp.sin(x[:, 0])
+    sigma = np.full((n,), 0.3)
+    est = FunctionEstimator(sigma=sigma, obs_variance=True, gp_type="full")
+    est.fit(x, y)
+    h = np.asarray(est.predict.leverage(x))
+    assert h.shape == (n,)
+    assert h.min() >= 0.0 and h.max() <= 1.0
+    ov = np.asarray(est.predict.obs_variance(x))
+    assert ov.shape == (n,)
+
+    # value check against the explicit heteroscedastic hat formula
+    K = np.asarray(est.cov_func(x, x), dtype=np.float64)
+    D = np.diag(sigma**2)
+    h_exp = 1.0 - sigma**2 * np.diag(
+        np.linalg.inv(K + D + float(est.jitter) * np.eye(n))
+    )
+    np.testing.assert_allclose(h, h_exp, atol=1e-4)
+
+
+def test_per_observation_sigma_leverage_shape_sparse():
+    """Sparse (landmarks) flavor of the same contract."""
+    key = jax.random.PRNGKey(8)
+    n = 40
+    x = jax.random.uniform(key, (n, 2), minval=-2, maxval=2)
+    y = jnp.sin(x[:, 0])
+    sigma = np.full((n,), 0.3)
+    est = FunctionEstimator(sigma=sigma, obs_variance=True, n_landmarks=15)
+    est.fit(x, y)
+    h = np.asarray(est.predict.leverage(x))
+    assert h.shape == (n,)
+    assert h.min() >= -1e-5 and h.max() <= 1.0 + 1e-5
+    ov = np.asarray(est.predict.obs_variance(x))
+    assert ov.shape == (n,)
+
+
+def test_np_sigma_full_conditional_obs_variance_and_leverage():
+    """(n, p) sigma on the full conditional: the obs-variance solve and
+    leverage must vmap sigma over its FEATURE axis (the reference's
+    ``in_axes=(0, 1)`` crashes for n != p, ``mellon/conditional.py:352``)."""
+    from mellon_tpu.inference.conditionals import FullConditional
+    from mellon_tpu.ops.kernels import Matern52
+
+    key = jax.random.PRNGKey(9)
+    n, p = 9, 3
+    x = jax.random.uniform(key, (n, 2), minval=-2, maxval=2)
+    Y = jnp.stack(
+        [jnp.sin(x[:, 0]), jnp.cos(x[:, 1]), x[:, 0] * x[:, 1]], axis=1
+    )
+    sigma = 0.05 + 0.1 * jax.random.uniform(jax.random.fold_in(key, 1), (n, p))
+    c = FullConditional(x, Y, 0.0, Matern52(1.0), sigma=sigma, obs_variance=True)
+    h = np.asarray(c._leverage(x, sigma))
+    assert h.shape == (n, p)
+    ov = np.asarray(c._obs_variance(x))
+    assert ov.shape == (n, p)
+    assert np.all(np.isfinite(ov))
+
+
+def test_landmarks_uncertainty_with_scalar_sigma_and_no_factor():
+    """y_is_mean + with_uncertainty + sigma (no y_cov_factor) on the
+    landmarks conditional must lift sigma to a covariance factor like the
+    full conditional does — the reference crashes with a TypeError on the
+    None factor (``mellon/conditional.py:582-584``)."""
+    from mellon_tpu.inference.conditionals import LandmarksConditional
+    from mellon_tpu.ops.kernels import Matern52
+
+    key = jax.random.PRNGKey(10)
+    x = jax.random.uniform(key, (30, 2), minval=-2, maxval=2)
+    xu = x[::3]
+    y = jnp.sin(x[:, 0])
+    c = LandmarksConditional(
+        x, xu, y, 0.0, Matern52(1.0), sigma=0.1,
+        y_is_mean=True, with_uncertainty=True,
+    )
+    mc = np.asarray(c._mean_covariance(x[:5]))
+    assert mc.shape == (5,)
+    assert np.all(np.isfinite(mc))
+
+
+def test_landmarks_uncertainty_per_feature_raises_informative():
+    """Per-feature sigma + y_is_mean + with_uncertainty: no W factor exists
+    (same contract as the full conditional); mean_covariance raises the
+    informative _check_uncertainty error instead of the reference's crash
+    on an undefined L_B (``mellon/conditional.py:583``)."""
+    from mellon_tpu.inference.conditionals import LandmarksConditional
+    from mellon_tpu.ops.kernels import Matern52
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.uniform(key, (30, 2), minval=-2, maxval=2)
+    xu = x[::3]
+    Y = jnp.stack([jnp.sin(x[:, 0]), jnp.cos(x[:, 1])], axis=1)
+    c = LandmarksConditional(
+        x, xu, Y, 0.0, Matern52(1.0), sigma=jnp.asarray([0.1, 0.2]),
+        y_is_mean=True, with_uncertainty=True,
+    )
+    with pytest.raises(ValueError, match="without uncertainty"):
+        c._mean_covariance(x[:5])

@@ -66,3 +66,25 @@ def test_smc_density_posterior_matches_map():
     )
     f_mean = np.asarray(f_samples.mean(axis=0))
     assert np.corrcoef(f_mean, ld_map)[0, 1] > 0.9
+
+
+def test_smc_one_sided_custom_prior_raises():
+    """Supplying only one of prior_sample/prior_logpdf would silently
+    target the default N(0, I) prior, biasing posterior and evidence;
+    it must raise instead."""
+    import pytest
+    from mellon_tpu.inference.smc import run_smc
+
+    def loglik(z):
+        return -0.5 * jnp.sum(z**2)
+
+    with pytest.raises(ValueError, match="BOTH prior_sample and prior_logpdf"):
+        run_smc(
+            loglik, 2, jax.random.PRNGKey(0), num_particles=8,
+            prior_sample=lambda k, n: jax.random.normal(k, (n, 2)),
+        )
+    with pytest.raises(ValueError, match="BOTH prior_sample and prior_logpdf"):
+        run_smc(
+            loglik, 2, jax.random.PRNGKey(0), num_particles=8,
+            prior_logpdf=lambda z: -0.5 * jnp.sum(z**2),
+        )
