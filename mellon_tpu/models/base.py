@@ -199,11 +199,9 @@ class BaseEstimator:
     def _compute_n_landmarks(self):
         return compute_n_landmarks(self.gp_type, self.x.shape[0], self.landmarks)
 
-    def _compute_landmarks(self):
-        x = self.x
-        n_landmarks = self.n_landmarks
-        n_samples = x.shape[0]
-        gp_type = self.gp_type
+    def _landmark_advisory_and_seed(self, n_samples, n_landmarks):
+        """Large-n advisory log + resolved random_state, shared by the lazy
+        landmark computations and the fused preambles."""
         if n_samples > 100 * n_landmarks and n_samples > 1e6:
             logger.info(
                 f"Large number of {n_samples:,} cells and "
@@ -211,9 +209,15 @@ class BaseEstimator:
                 "computing k-means on a subset of cells and passing "
                 "the results as 'landmarks' to speed up the process."
             )
-        random_state = (
+        return (
             self.random_state if self.random_state is not None else DEFAULT_RANDOM_SEED
         )
+
+    def _compute_landmarks(self):
+        x = self.x
+        n_landmarks = self.n_landmarks
+        gp_type = self.gp_type
+        random_state = self._landmark_advisory_and_seed(x.shape[0], n_landmarks)
         return compute_landmarks(
             x, gp_type, n_landmarks=n_landmarks, random_state=random_state
         )
@@ -490,9 +494,23 @@ class BaseEstimator:
                 if self.random_state is not None
                 else DEFAULT_RANDOM_SEED
             )
+            # run_mcmc samples 1-d latent vectors (z0 rows are chains); a
+            # structured latent like the dimensionality model's (2, k)
+            # stacked GPs samples through a flattening wrapper — without it
+            # the (2, k) initial value would be misread as 2 chains of 1-d
+            # latents and crash inside the loss
+            latent_shape = initial_value.shape
+            if initial_value.ndim == 1:
+                mcmc_loss, mcmc_z0 = loss_fn, initial_value
+            else:
+                mcmc_z0 = _jnp.ravel(initial_value)
+
+                def mcmc_loss(z, *args):
+                    return loss_fn(z.reshape(latent_shape), *args)
+
             result = run_mcmc(
-                loss_fn,
-                initial_value,
+                mcmc_loss,
+                mcmc_z0,
                 _jax.random.PRNGKey(seed),
                 num_warmup=max(self.n_iter, 200),
                 num_samples=max(self.n_iter, 200),
@@ -500,9 +518,11 @@ class BaseEstimator:
                 potential_args=loss_args,
             )
             flat = result.samples.reshape((-1,) + result.samples.shape[2:])
-            self.pre_transformation = flat.mean(axis=0)
-            self.pre_transformation_std = flat.std(axis=0)
-            self.posterior_samples = result.samples
+            self.pre_transformation = flat.mean(axis=0).reshape(latent_shape)
+            self.pre_transformation_std = flat.std(axis=0).reshape(latent_shape)
+            self.posterior_samples = result.samples.reshape(
+                result.samples.shape[:2] + latent_shape
+            )
             self.mcmc_result = result
             self.losses = _jnp.ravel(result.potential)
         elif optimizer == "smc":

@@ -138,6 +138,11 @@ class DensityEstimator(BaseEstimator):
             logger.info(f"Using d={d}.")
         elif self.d_method == "manual":
             d = self.d
+            if d is None:
+                raise ValueError(
+                    'd_method="manual" requires the intrinsic '
+                    "dimensionality d to be passed explicitly."
+                )
             logger.info(f"Using manually set d={d}.")
         else:
             d = compute_d(x)

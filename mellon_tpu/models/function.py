@@ -79,6 +79,7 @@ class FunctionEstimator(BaseEstimator):
             sigma, "sigma", positive=True
         )
         self.obs_variance = validate_bool(obs_variance, "obs_variance")
+        self.conditional = None
         if self.gp_type in (
             GaussianProcessType.FULL_NYSTROEM,
             GaussianProcessType.SPARSE_NYSTROEM,
@@ -227,6 +228,11 @@ class FunctionEstimator(BaseEstimator):
 
     @property
     def predict(self):
+        if self.conditional is None:
+            raise ValueError(
+                "The predictor is not yet computed. Call fit(x, y) or "
+                "fit_predict(x, y) first."
+            )
         return self.conditional
 
     def leverage(self, X=None):
@@ -295,7 +301,7 @@ class FunctionEstimator(BaseEstimator):
         Y = validate_array(Y, "Y")
         n_samples = x.shape[0]
         if Y.shape[0] != n_samples:
-            if Y.shape[1] == n_samples:
+            if Y.ndim > 1 and Y.shape[1] == n_samples:
                 logger.warning(
                     "Y.shape[0] does not equal X.shape[0] (the number of "
                     "samples). However, Y.shape[1] == X.shape[0]. Transposing "

@@ -37,7 +37,7 @@ from ..ops.cluster import DEFAULT_ASSIGN_BLOCK, DEFAULT_N_ITER, _kmeanspp_init, 
 from ..ops.kernels import _SPEC_CORES, eval_operand_spec
 from ..ops.linalg import PIVOT_REL_TOL, _pivoted_cholesky, ridge_solve
 from ..ops.neighbors import DEFAULT_BATCH_SIZE, DEFAULT_COL_BLOCK, _knn_blocked
-from ..parameters import DEFAULT_RANDOM_SEED, KMEANS_SUBSAMPLE_THRESHOLD
+from ..parameters import KMEANS_SUBSAMPLE_THRESHOLD
 from ..utils.util import GaussianProcessType, mle
 from ..utils.validation import _nn_repair_impl, report_nn_repair
 
@@ -60,13 +60,7 @@ def _landmark_preamble(est, n, k):
     uniform-subsample decision + log, the k-means log, and the resolved
     random_state.  Byte-identical to the lazy path's messages
     (``compute_landmarks`` / ``BaseEstimator._compute_landmarks``)."""
-    if n > 100 * k and n > 1e6:
-        logger.info(
-            f"Large number of {n:,} cells and "
-            f"small number of {k:,} landmarks. Consider "
-            "computing k-means on a subset of cells and passing "
-            "the results as 'landmarks' to speed up the process."
-        )
+    random_state = est._landmark_advisory_and_seed(n, k)
     threshold = max(KMEANS_SUBSAMPLE_THRESHOLD, 20 * k)
     n_sub = threshold if n > threshold else None
     if n_sub is not None:
@@ -74,9 +68,6 @@ def _landmark_preamble(est, n, k):
             f"Running k-means on a uniform subsample of {n_sub:,} of "
             f"{n:,} cells (quantization quality is insensitive to this)."
         )
-    random_state = (
-        est.random_state if est.random_state is not None else DEFAULT_RANDOM_SEED
-    )
     logger.info(
         f"Computing {k:,} landmarks with k-means clustering "
         f"(random_state={random_state})."
@@ -669,6 +660,13 @@ def maybe_fused_time_prepare(est):
     do_normalize = normalize is not False and normalize is not None
     av_cells_per_tp = n / n_times
     if do_normalize:
+        # same eager validation as the lazy path
+        # (compute_nn_distances_within_time_points) — without it a
+        # missing dict key or wrong-length list surfaces as a raw
+        # KeyError/IndexError below or is silently truncated
+        from ..utils.parameter_validation import validate_normalize_parameter
+
+        validate_normalize_parameter(normalize, jnp.asarray(unique_times))
         targets = np.asarray(
             [
                 _get_target_cell_count(
@@ -816,16 +814,17 @@ def _finish_factorization(est, x, xu, K, Lp, ok, x64, run_ok, run_prune, pivot=N
     if est.check_rank is None:
         # rank is known by construction; skip the SVD check
         est.check_rank = False
-    Lp2, xu_sel, L, z0, ok2 = run_prune(jnp.asarray(piv, dtype=jnp.int32))
-    est.landmarks = xu_sel
+    piv_arr = jnp.asarray(piv, dtype=jnp.int32)
     if bool(est.check_rank):
         # an explicitly requested rank diagnostic must run in _compute_L:
-        # set only the (validated) Cholesky and leave L/initial_value lazy
-        if bool(ok2):
-            est.Lp = Lp2
-        else:
-            est.Lp = safe_cholesky(K[piv][:, piv], jitter=est.jitter, max_tries=3)
+        # set only the (validated) Cholesky and landmarks and leave
+        # L/initial_value lazy — running the full prune program here would
+        # pay the O(n·m) TRSM + ridge warm start only to discard them
+        est.landmarks = xu[piv_arr]
+        est.Lp = safe_cholesky(K[piv][:, piv], jitter=est.jitter, max_tries=3)
         return
+    Lp2, xu_sel, L, z0, ok2 = run_prune(piv_arr)
+    est.landmarks = xu_sel
     if est.optimizer == "L-BFGS-B" and getattr(est, "_in_fit", False):
         # optimistic (only inside fit/fit_predict, where run_inference is
         # guaranteed to follow): the pivoted subset with jitter essentially

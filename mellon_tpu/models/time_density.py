@@ -186,6 +186,11 @@ class TimeSensitiveDensityEstimator(BaseEstimator):
             logger.info(f"Using d={d}.")
         elif self.d_method == "manual":
             d = self.d
+            if d is None:
+                raise ValueError(
+                    'd_method="manual" requires the intrinsic '
+                    "dimensionality d to be passed explicitly."
+                )
             logger.info(f"Using manually set d={d}.")
         else:
             d = compute_d(x)
@@ -277,17 +282,7 @@ class TimeSensitiveDensityEstimator(BaseEstimator):
     def _compute_landmarks(self):
         x = self.x
         n_landmarks = self.n_landmarks
-        n_samples = x.shape[0]
-        if n_samples > 100 * n_landmarks and n_samples > 1e6:
-            logger.info(
-                f"Large number of {n_samples:,} cells and "
-                f"small number of {n_landmarks:,} landmarks. Consider "
-                "computing k-means on a subset of cells and passing "
-                "the results as 'landmarks' to speed up the process."
-            )
-        random_state = (
-            self.random_state if self.random_state is not None else DEFAULT_RANDOM_SEED
-        )
+        random_state = self._landmark_advisory_and_seed(x.shape[0], n_landmarks)
         return compute_landmarks_rescale_time(
             x,
             self.ls,

@@ -143,7 +143,7 @@ def compute_gp_type(n_landmarks, rank, n_samples):
         return GaussianProcessType.SPARSE_CHOLESKY
     logger.info(
         "Using sparse Gaussian Process with improved Nyström rank reduction "
-        f"since n_landmarks ({n_landmarks:,}) >= n_samples ({n_samples:,}) "
+        f"since n_landmarks ({n_landmarks:,}) < n_samples ({n_samples:,}) "
         f"and rank = {rank}."
     )
     return GaussianProcessType.SPARSE_NYSTROEM
@@ -165,7 +165,11 @@ def compute_landmarks(
         return None
     n = x.shape[0]
     x = ensure_2d(x)
-    assert n_landmarks > 1, "n_landmarks musst be larger 1 or euqual to 0"
+    if n_landmarks <= 1:
+        raise ValueError(
+            f"n_landmarks must be 0 (disabled) or greater than 1, got "
+            f"{n_landmarks}."
+        )
     if n_landmarks >= n:
         if gp_type == GaussianProcessType.FIXED:
             logger.info(

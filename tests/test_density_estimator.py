@@ -306,3 +306,11 @@ def test_bf16_precision_map_close_to_default(data, fitted):
 
     with pytest.raises(ValueError, match="precision"):
         DensityEstimator(precision="fp8")
+
+
+def test_manual_d_method_without_d_raises(data):
+    """d_method='manual' with d=None must raise a clear error, not a
+    TypeError from `None > 50` (review fix)."""
+    est = mellon_tpu.DensityEstimator(d_method="manual")
+    with pytest.raises(ValueError, match="manual"):
+        est.fit(data)

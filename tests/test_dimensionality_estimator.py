@@ -179,3 +179,15 @@ def test_error_paths_and_staged_protocol(data):
     with pytest.raises(ValueError):
         est.fit_predict(wide)
     assert est.fit_predict().shape == (data.shape[0],)
+
+
+def test_nuts_optimizer_on_stacked_latents(data):
+    """optimizer='nuts' must sample the (2, k) stacked dimensionality
+    latents through the flattening wrapper instead of misreading them as
+    2 chains of 1-D latents (review fix)."""
+    est = DimensionalityEstimator(optimizer="nuts", n_iter=8, n_landmarks=10)
+    est.fit(data)
+    assert est.pre_transformation.shape[0] == 2
+    assert est.posterior_samples.ndim == 4  # (draws, chains, 2, k)
+    ld = np.asarray(est.local_dim_x)
+    assert np.all(np.isfinite(ld)) and np.all(ld > 0)

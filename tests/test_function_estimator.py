@@ -274,3 +274,21 @@ def test_f32_singular_landmark_kernel_host_rescue(caplog, propagate_logs):
         expected[:, 0],
         atol=2e-3 * scale,
     )
+
+
+def test_predict_before_fit_raises_informative():
+    """predict before fit must raise a clear 'not yet computed' error, not
+    an AttributeError (review fix)."""
+    est = FunctionEstimator()
+    with pytest.raises(ValueError, match="not yet computed"):
+        est.predict
+
+
+def test_multi_fit_predict_1d_wrong_length_raises_shape_error():
+    """A 1-D Y of wrong length must surface the informative shape error,
+    not an IndexError from reading Y.shape[1] (review fix)."""
+    key = jax.random.PRNGKey(5)
+    x = jax.random.uniform(key, (30, 2), minval=-2, maxval=2)
+    est = FunctionEstimator(n_landmarks=10)
+    with pytest.raises((ValueError,)):
+        est.multi_fit_predict(x, jnp.ones(7))

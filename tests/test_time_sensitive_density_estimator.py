@@ -260,3 +260,17 @@ def test_normalization_forms(data, fitted, normalization, different):
         assert rel > 1e-2
     else:
         assert rel < 1e-4
+
+
+def test_fused_time_prepare_validates_normalize_dict(data):
+    """The fused prepare must apply the same eager normalize validation as
+    the lazy path: a dict missing a time point raises the documented
+    ValueError, not a raw KeyError (review fix)."""
+    x, times = data
+    unique = np.unique(np.asarray(times))
+    bad = {float(unique[0]): 50.0}  # missing the remaining time points
+    est = TimeSensitiveDensityEstimator(
+        ls_time=1.5, normalize_per_time_point=bad
+    )
+    with pytest.raises(ValueError):
+        est.fit(x, times)
