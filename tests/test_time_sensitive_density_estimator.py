@@ -274,3 +274,57 @@ def test_fused_time_prepare_validates_normalize_dict(data):
     )
     with pytest.raises(ValueError):
         est.fit(x, times)
+
+
+def test_batched_ls_time_matches_per_time_loop(data):
+    """The batched masked FULL-GP ls_time path must reproduce the exact
+    per-time-loop estimate (the padded latents carry zero gradient, so the
+    masked fit is exact for the real cells)."""
+    from mellon_tpu.models import ls_time as lt
+    from mellon_tpu.ops.kernels import Matern52
+    from mellon_tpu.parameters import compute_nn_distances_within_time_points
+    from mellon_tpu.utils.validation import validate_time_x
+
+    x, times = data
+    xt = validate_time_x(x, times)
+    nn = compute_nn_distances_within_time_points(xt)
+
+    ls_batched = lt.compute_ls_time(nn, xt, Matern52)
+
+    orig = lt._batched_ls_time_densities
+    lt._batched_ls_time_densities = lambda *a, **k: None
+    try:
+        ls_loop = lt.compute_ls_time(nn, xt, Matern52)
+    finally:
+        lt._batched_ls_time_densities = orig
+
+    assert ls_batched == pytest.approx(ls_loop, rel=2e-3)
+
+
+def test_batched_ls_time_declines_unsupported_configs(data):
+    """return_data, non-L-BFGS optimizers, fractal d, and unknown kwargs
+    must fall back to the per-time loop (exact reference semantics)."""
+    from mellon_tpu.models import ls_time as lt
+
+    x, times = data
+    nn = jnp.ones(x.shape[0]) * 0.3
+    xt = jnp.concatenate([x, times[:, None]], axis=1)
+    ut = jnp.unique(times)
+    assert (
+        lt._batched_ls_time_densities(
+            xt, nn, None, {"optimizer": "adam"}, ut, 0
+        )
+        is None
+    )
+    assert (
+        lt._batched_ls_time_densities(
+            xt, nn, None, {"d_method": "fractal"}, ut, 0
+        )
+        is None
+    )
+    assert (
+        lt._batched_ls_time_densities(
+            xt, nn, None, {"n_landmarks": 10}, ut, 0
+        )
+        is None
+    )
