@@ -402,3 +402,14 @@ def set_verbosity(verbose: bool):
 
 
 from ..config import set_jax_config  # noqa: E402  (re-export for API parity)
+
+
+def __getattr__(name):
+    # lazy re-export for API parity with ``mellon.util.local_dimensionality``
+    # (``mellon/util.py:486-536``); the device implementation lives in
+    # ops.neighbors, which imports this module (direct import would cycle)
+    if name == "local_dimensionality":
+        from ..ops.neighbors import local_dimensionality
+
+        return local_dimensionality
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
