@@ -146,7 +146,19 @@ def _batched_ls_time_densities(
         sel = times == t
         k = int(sel.sum())
         xg[i, :k] = x_np[sel]
-        nng[i, :k] = nn_np[sel]
+        nn_slice = nn_np[sel].copy()
+        # per-slice repair, mirroring the per-time estimator's
+        # validate_nn_distances on its nn_distances slice
+        invalid = ~np.isfinite(nn_slice) | (nn_slice <= 0)
+        if invalid.all():
+            return None  # the per-time loop raises the documented error
+        if invalid.any():
+            logger.warning(
+                f"Repairing {int(invalid.sum()):,} invalid nn_distances in "
+                f"time group {t} (set to the minimum positive value found)."
+            )
+            nn_slice[invalid] = nn_slice[~invalid].min()
+        nng[i, :k] = nn_slice
         mask[i, :k] = 1.0
     xg, nng, mask = jnp.asarray(xg), jnp.asarray(nng), jnp.asarray(mask)
     n_t = jnp.asarray(sizes, dtype=xg.dtype)
@@ -155,8 +167,10 @@ def _batched_ls_time_densities(
     ls_factor = float(kw.get("ls_factor") or 1)
     mu_given = kw.get("mu")
 
+    from ..ops.kernels import eval_operand_spec
+
     @jax.jit
-    def prep(xg, nng, mask, n_t):
+    def stats(xg, nng, mask, n_t):
         mle_g = mle(nng, d)
         if mu_given is not None:
             mu_t = jnp.full((T,), float(mu_given), dtype=xg.dtype)
@@ -169,30 +183,87 @@ def _batched_ls_time_densities(
         else:
             log_mean = jnp.sum(jnp.log(nng) * mask, axis=1) / n_t
             ls_t = jnp.exp(log_mean + 3.0) * ls_factor
+        return mle_g, mu_t, ls_t
 
-        def chol_one(xg_t, mask_t, ls_g):
-            from ..ops.kernels import eval_operand_spec
-
+    @jax.jit
+    def masked_kernels(xg, mask, ls_t):
+        def one(xg_t, mask_t, ls_g):
             K = eval_operand_spec(spec, (ls_g,), xg_t, xg_t)
             m2 = mask_t[:, None] * mask_t[None, :]
-            K_m = K * m2 + jnp.diag(1.0 - mask_t)
-            diag = jnp.arange(K_m.shape[0])
-            return jnp.linalg.cholesky(K_m.at[diag, diag].add(jitter))
+            return K * m2 + jnp.diag(1.0 - mask_t)
 
-        L_stack = jax.vmap(chol_one)(xg, mask, ls_t)
+        return jax.vmap(one)(xg, mask, ls_t)
 
+    @jax.jit
+    def chol(K_stack, jitters):
+        def one(K_t, j):
+            diag = jnp.arange(K_t.shape[0])
+            L = jnp.linalg.cholesky(K_t.at[diag, diag].add(j))
+            return L, jnp.any(jnp.isnan(L))
+
+        return jax.vmap(one)(K_stack, jitters)
+
+    @jax.jit
+    def ridge(L_stack, mask, target):
         # masked ridge warm start: (LᵀWL + I) z = LᵀW (mle − mu)
-        def ridge_one(L_t, mask_t, target_t):
+        def one(L_t, mask_t, target_t):
             Lw = L_t * mask_t[:, None]
             G = Lw.T @ (L_t * mask_t[:, None])
             diag = jnp.arange(G.shape[0])
             rhs = Lw.T @ (target_t * mask_t)
             return jnp.linalg.solve(G.at[diag, diag].add(1.0), rhs)
 
-        z0 = jax.vmap(ridge_one)(L_stack, mask, mle_g - mu_t[:, None])
-        return L_stack, mu_t, ls_t, z0
+        return jax.vmap(one)(L_stack, mask, target)
 
-    L_stack, mu_t, ls_t, z0 = prep(xg, nng, mask, n_t)
+    mle_g, mu_t, ls_t = stats(xg, nng, mask, n_t)
+    K_stack = masked_kernels(xg, mask, ls_t)
+
+    # the same rescue ladder as safe_cholesky, batched: per-group jitter
+    # escalation (one executable, jitters are operands), then host-f64
+    # factorization of the f32-rounded kernel values for still-singular
+    # groups (full per-time kernels are routinely f32-singular — the loop
+    # path pays exactly this ladder per time point)
+    jitters = np.full(T, jitter, dtype=np.asarray(xg).dtype)
+    L_stack, bad = chol(K_stack, jnp.asarray(jitters))
+    bad = np.asarray(bad)
+    tries = 0
+    while bad.any() and tries < 3:
+        tries += 1
+        jitters = np.where(bad, jitters * 10, jitters)
+        logger.warning(
+            f"Batched Cholesky failed for {int(bad.sum())} time group(s); "
+            f"retrying with escalated jitter (try {tries})."
+        )
+        L_stack, bad = chol(K_stack, jnp.asarray(jitters))
+        bad = np.asarray(bad)
+    if bad.any():
+        logger.warning(
+            f"Batched Cholesky failed for {int(bad.sum())} time group(s) "
+            "after jitter escalation; factorizing those groups on the host "
+            "in float64."
+        )
+        L_host = np.array(L_stack)  # writable copy
+        bad_idx = np.flatnonzero(bad)
+        # fetch only the still-singular groups' kernels
+        K_bad = np.asarray(
+            jax.device_get(K_stack[jnp.asarray(bad_idx)]), dtype=np.float64
+        )
+        eye = np.eye(n_pad)
+        for j_g, g in enumerate(bad_idx):
+            hj = max(float(jitter), 1e-12)
+            for _ in range(8):
+                try:
+                    L_host[g] = np.linalg.cholesky(K_bad[j_g] + hj * eye).astype(
+                        L_host.dtype
+                    )
+                    break
+                except np.linalg.LinAlgError:
+                    hj *= 10
+            else:
+                return None  # genuinely unfactorizable: exact loop decides
+        L_stack = jnp.asarray(L_host)
+
+    z0 = ridge(L_stack, mask, mle_g - mu_t[:, None])
 
     res = minimize_lbfgsb(
         _batched_density_loss,
@@ -205,8 +276,6 @@ def _batched_ls_time_densities(
     def predict(states, xg, L_stack, Z, ls_t, mu_t):
         def one(op):
             xg_t, L_t, z_t, ls_g, mu_g = op
-            from ..ops.kernels import eval_operand_spec
-
             w = solve_triangular(L_t.T, z_t, lower=False)
             Ks = eval_operand_spec(spec, (ls_g,), states, xg_t)
             return mu_g + Ks @ w

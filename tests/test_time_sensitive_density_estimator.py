@@ -328,3 +328,38 @@ def test_batched_ls_time_declines_unsupported_configs(data):
         )
         is None
     )
+
+
+def test_batched_ls_time_rescue_ladder_matches_loop():
+    """f32-singular per-time kernels (near-duplicate cells) must take the
+    batched path's jitter-escalation / host-f64 rescue and still match the
+    per-time loop (which rides safe_cholesky's identical ladder)."""
+    from mellon_tpu.models import ls_time as lt
+    from mellon_tpu.ops.kernels import Matern52
+    from mellon_tpu.parameters import compute_nn_distances_within_time_points
+    from mellon_tpu.utils.validation import validate_time_x
+
+    key = jax.random.PRNGKey(4)
+    xs, ts = [], []
+    for i, t in enumerate([0.0, 1.0, 2.0]):
+        base = jax.random.normal(jax.random.fold_in(key, i), (20, 2)) + 0.3 * t
+        # tight triples around each base point -> ill-conditioned kernel
+        jit3 = 1e-4 * jax.random.normal(jax.random.fold_in(key, 10 + i), (3, 20, 2))
+        pts = (base[None, :, :] + jit3).reshape(-1, 2)
+        xs.append(pts)
+        ts.append(jnp.full(pts.shape[0], t))
+    x = jnp.concatenate(xs)
+    times = jnp.concatenate(ts)
+    xt = validate_time_x(x, times)
+    nn = compute_nn_distances_within_time_points(xt)
+
+    ls_batched = lt.compute_ls_time(nn, xt, Matern52)
+    assert np.isfinite(ls_batched) and ls_batched > 0
+
+    orig = lt._batched_ls_time_densities
+    lt._batched_ls_time_densities = lambda *a, **k: None
+    try:
+        ls_loop = lt.compute_ls_time(nn, xt, Matern52)
+    finally:
+        lt._batched_ls_time_densities = orig
+    assert ls_batched == pytest.approx(ls_loop, rel=0.05)
