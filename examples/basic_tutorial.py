@@ -13,6 +13,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import mellon_tpu as mellon
 
 # --- synthetic stand-in for ad.obsm["DM_EigenVectors"] ----------------------

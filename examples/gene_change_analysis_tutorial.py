@@ -12,6 +12,11 @@ Usage: python examples/gene_change_analysis_tutorial.py
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import mellon_tpu as mellon
 
 # --- synthetic embedding: a curved 2-d manifold inside 10 dims --------------

@@ -11,6 +11,11 @@ Usage: python examples/trajectory_trends_tutorial.py
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import mellon_tpu as mellon
 
 # --- synthetic lineage: pseudotime + noisy expression of 50 genes -----------
