@@ -8,22 +8,13 @@ pruning, the n×r sparse factorization, and the compiled L-BFGS MAP.
 Usage: python scripts/atlas_bench.py [n] [d] [m]
 """
 
-import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from _common import jax, log  # noqa: F401  (repo path + compile cache)
 
 import jax.numpy as jnp
 
-
-def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
 def main(n=1_000_000, d=50, m=5_000):

@@ -10,23 +10,14 @@ mesh axis), so pod-slice numbers are chains x this rate per chip.
 Usage: python scripts/atlas_nuts_bench.py [n] [d] [m] [chains] [warmup] [samples]
 """
 
-import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from _common import jax, log  # noqa: F401  (repo path + compile cache)
 
 import jax.numpy as jnp
 import numpy as np
 
-
-def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
 def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50):

@@ -8,13 +8,11 @@ TPU-native analogue of the reference's ``scripts/compare_laplace_advi.py``
 Usage: python scripts/compare_posteriors.py [n_cells] [n_dims]
 """
 
-import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _common import jax, log  # noqa: F401  (repo path + compile cache)
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -8,22 +8,13 @@ guesswork.
 Usage: python scripts/knn_bench.py [n] [d]
 """
 
-import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from _common import jax, log  # noqa: F401  (repo path + compile cache)
 
 import jax.numpy as jnp
 
-
-def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
 def main(n=1_000_000, d=50):
@@ -46,12 +37,18 @@ def main(n=1_000_000, d=50):
     t_ivf = time.time() - t0
     log(f"IVF 1-NN: cold {t_ivf_cold:.1f}s warm {t_ivf:.1f}s")
 
-    # --- exact path ---
+    # --- exact path (warmed like the IVF path: the cold run includes
+    # compile + relay program load, which would bias the speedup used to
+    # set IVF_THRESHOLD) ---
+    t0 = time.time()
+    d_exact = neighbors.knn_distances(x, 1, method="exact")
+    d_exact.block_until_ready()
+    t_exact_cold = time.time() - t0
     t0 = time.time()
     d_exact = neighbors.knn_distances(x, 1, method="exact")
     d_exact.block_until_ready()
     t_exact = time.time() - t0
-    log(f"exact 1-NN: {t_exact:.1f}s")
+    log(f"exact 1-NN: cold {t_exact_cold:.1f}s warm {t_exact:.1f}s")
 
     d_ivf = d_ivf[:, 0]
     d_exact = d_exact[:, 0]

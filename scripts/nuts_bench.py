@@ -11,23 +11,14 @@ precision: "f32" (default) or "bf16" — bf16 stores the (n, m) matrix L in
 bfloat16 (f32 accumulation), halving the HBM traffic of the leapfrog loop.
 """
 
-import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from _common import jax, log  # noqa: F401  (repo path + compile cache)
 
 import jax.numpy as jnp
 import numpy as np
 
-
-def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
 def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2,
@@ -115,5 +106,9 @@ def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2,
 
 
 if __name__ == "__main__":
-    args = [a if a in ("f32", "bf16") else int(a) for a in sys.argv[1:]]
-    main(*args)
+    # precision may appear at any position; the remaining args are the
+    # numeric parameters in declaration order
+    argv = sys.argv[1:]
+    precision = next((a for a in argv if a in ("f32", "bf16")), "f32")
+    nums = [int(a) for a in argv if a not in ("f32", "bf16")]
+    main(*nums, precision=precision)

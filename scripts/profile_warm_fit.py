@@ -7,20 +7,10 @@ lazily prepared attribute — the numbers that make up the ``bench.py``
 headline.  Development tool; prints one line per stage.
 """
 
-import os
-import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _common import jax, log  # noqa: F401  (repo path + compile cache)
 
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-
-def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
 ATTRS = [
@@ -62,7 +52,9 @@ def timed_fit(est, x, label):
     jax.effects_barrier()
     stages.append(("run_inference (L-BFGS)", time.time() - t0))
     t0 = time.time()
-    est.process_inference()
+    # build_predict=False matches the headline path: bench.py goes through
+    # fit_predict, which skips predictor construction
+    est.process_inference(build_predict=False)
     est.log_density_x.block_until_ready()
     stages.append(("process_inference", time.time() - t0))
     total = time.time() - t_total

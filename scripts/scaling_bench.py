@@ -10,22 +10,13 @@ Usage:
   python scripts/scaling_bench.py 10000 500  # smaller workload
 """
 
-import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from _common import jax, log  # noqa: F401  (repo path + compile cache)
 
 import jax.numpy as jnp
 
-
-def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
 def make_operands(key, n, m):
@@ -120,3 +111,11 @@ if __name__ == "__main__":
     throughput(n, m)
     if len(jax.devices()) > 1:
         mesh_scaling(n, m)
+    else:
+        log(
+            "single device: skipping mesh scaling. For the CPU virtual-mesh "
+            "measurement run with JAX_PLATFORMS=cpu and "
+            'jax.config.update("jax_num_cpu_devices", 8) before first jax '
+            "use (tests/test_mcmc.py drives the same sharding on the "
+            "8-device virtual mesh)."
+        )

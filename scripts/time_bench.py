@@ -9,22 +9,13 @@ loads every program, then the measured fit runs warm.
 Usage: python scripts/time_bench.py [n] [d] [n_times]
 """
 
-import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import jax
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/mellon_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from _common import jax, log  # noqa: F401  (repo path + compile cache)
 
 import jax.numpy as jnp
 
-
-def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
 def make_time_data(key, n, d, n_times):
@@ -49,9 +40,13 @@ def one_fit(seed, n, d, n_times):
     jax.device_get(ld[:1])
     dt = time.time() - t0
     assert bool(jnp.all(jnp.isfinite(ld))), "non-finite density"
-    # predictor evaluation at one time point (tutorial cell 12: 26.4 s)
-    t0 = time.time()
+    # predictor evaluation at one time point (tutorial cell 12: 26.4 s).
+    # First call on a fresh predictor traces+loads its program; measure the
+    # second (steady-state) call like every other number in this file.
     dens = est.predict(x, time=0.0)
+    jax.device_get(dens[:1])
+    t0 = time.time()
+    dens = est.predict(x, time=0.25)
     jax.device_get(dens[:1])
     dt_pred = time.time() - t0
     # time derivative (tutorial cell 14: 8.68 s).  First call on a fresh
