@@ -71,3 +71,46 @@ def shard_chains(mesh, z0):
 
 def replicate(mesh, x):
     return jax.device_put(x, replicated(mesh))
+
+
+def shard_predict(predictor, mesh):
+    """Shard predictor evaluation over the ``cells`` mesh axis.
+
+    Returns ``predict_fn(Xnew, **kwargs)`` that places the query points on
+    the cells axis and evaluates the (replicated, small) predictor state
+    against them — each device computes its row block of the
+    ``k(Xnew_shard, landmarks) @ weights`` product, so atlas-scale
+    out-of-sample evaluation scales linearly with the mesh without any
+    host-side chunking.  ``Xnew.shape[0]`` should be divisible by the
+    cells-axis size (pad the tail block otherwise).
+
+    NEW capability relative to the reference (single-device only); the
+    single-chip analogue is the predictor's internal chunked evaluation.
+    """
+    base = getattr(predictor, "landmarks", None)
+    if base is None:
+        base = predictor.x  # full conditional: condition on all points
+    landmarks = jnp.asarray(base)
+    weights = jnp.asarray(predictor.weights)
+    mu = predictor.mu
+    cov_func = predictor.cov_func
+    landmarks = jax.device_put(landmarks, replicated(mesh))
+    weights = jax.device_put(weights, replicated(mesh))
+
+    @jax.jit
+    def _eval(Xnew):
+        Kus = cov_func(Xnew, landmarks)
+        return mu + jnp.matmul(
+            Kus, weights, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def predict_fn(Xnew, normalize=False):
+        Xnew = jax.device_put(
+            jnp.asarray(Xnew), cell_sharding(mesh, ndim=jnp.ndim(Xnew))
+        )
+        out = _eval(Xnew)
+        if normalize:
+            out = out - jnp.log(predictor.n_obs)
+        return out
+
+    return predict_fn

@@ -346,3 +346,27 @@ def test_nuts_step_returns_gradient_at_proposal():
         np.testing.assert_allclose(
             float(state.potential), float(potential(state.z)), rtol=1e-6
         )
+
+
+def test_shard_predict_matches_single_device(density_fit_mesh=None):
+    """Sharded predictor evaluation over the cells axis must equal the
+    plain predictor at every query point."""
+    from mellon_tpu import DensityEstimator
+    from mellon_tpu.parallel.mesh import create_mesh
+    from mellon_tpu.parallel.sharding import shard_predict
+
+    key = jax.random.PRNGKey(6)
+    x = jax.random.normal(key, (96, 3))
+    est = DensityEstimator(n_landmarks=20)
+    est.fit(x)
+    pred = est.predict
+
+    mesh = create_mesh(n_chains=1, n_cells=8)
+    sharded = shard_predict(pred, mesh)
+    Xnew = jax.random.normal(jax.random.fold_in(key, 1), (64, 3))
+    got = np.asarray(sharded(Xnew))
+    want = np.asarray(pred(Xnew))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    got_n = np.asarray(sharded(Xnew, normalize=True))
+    want_n = np.asarray(pred(Xnew, normalize=True))
+    np.testing.assert_allclose(got_n, want_n, atol=1e-5)
