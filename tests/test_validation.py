@@ -273,3 +273,24 @@ def test_validate_normalize_parameter():
     with pytest.raises(ValueError):
         # wrong length list
         validate_normalize_parameter([10.0, 20.0], times)
+
+
+def test_validators_accept_jax_scalar_types():
+    """JAX scalar types must be accepted and converted to Python scalars
+    (parity: reference ``tests/test_validation.py:429-501``)."""
+    assert validate_float_or_iterable_numerical(jnp.float32(1.5), "p") == 1.5
+    assert isinstance(
+        validate_float_or_iterable_numerical(jnp.int32(3), "p"), float
+    )
+    r = validate_positive_float(jnp.float32(1.5), "p")
+    assert isinstance(r, float) and r == 1.5
+    r = validate_positive_float(jnp.int32(3), "p")
+    assert isinstance(r, float) and r == 3.0
+    r = validate_positive_int(jnp.int32(3), "p")
+    assert isinstance(r, int) and r == 3
+    # .item() extracted scalars behave like plain Python scalars
+    assert validate_positive_int(jnp.array([3]).item(), "p") == 3
+    assert (
+        validate_float_or_iterable_numerical(jnp.array([2.5]).item(), "p")
+        == 2.5
+    )
