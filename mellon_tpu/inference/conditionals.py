@@ -725,7 +725,28 @@ class _LandmarksConditional:
                 )
                 if not bool(chol_ok):
                     n_elem = xu.shape[0] * x.shape[0]
-                    if n_elem <= HOST_F64_BUDGET:
+                    # Noise-free mean reconditioning (the density models'
+                    # Nyström predictor: y_is_mean, sigma 0/None, no
+                    # uncertainty factor) prefers the on-device pivoted
+                    # prune: verified 0.005%-of-spread agreement with the
+                    # f64 solve on the tutorial-scale Nyström fit, vs a
+                    # host-f64 rescue that costs seconds of 2-core BLAS +
+                    # O(n·m) transfers.  Noisy/multi-output conditionals
+                    # keep the exact-model rescue (3x closer to f64 in the
+                    # extreme-singularity test).
+                    noise_free_mean = (
+                        y_is_mean
+                        and y_cov_factor is None
+                        and (
+                            sigma is None
+                            or (jnp.ndim(sigma) == 0 and float(sigma) == 0.0)
+                        )
+                    )
+                    if noise_free_mean:
+                        xu, Lp = _landmarks_lp_with_pruning(
+                            xu, cov_func, jitter, K=K, known_singular=True
+                        )
+                    elif n_elem <= HOST_F64_BUDGET:
                         logger.warning(
                             "Landmark kernel is singular at f32; computing "
                             "the conditional weights on the host in float64."

@@ -142,6 +142,18 @@ def test_mean_covariance_pushforward(setup):
 
 
 @pytest.fixture
+def propagate_logs():
+    """The package logger has propagate=False (own stdout handler); caplog
+    needs propagation on to observe records."""
+    import logging
+
+    logger = logging.getLogger("mellon_tpu")
+    logger.propagate = True
+    yield
+    logger.propagate = False
+
+
+@pytest.fixture
 def singular_f32():
     """f32 operands whose landmark kernel is numerically singular in f32:
     ls far above the data spread makes K(xu, xu) ~ all-ones."""
@@ -174,9 +186,14 @@ def _f64_sparse_weights(cov, x32, xu32, r, A_scale=None, r_scale=None):
 
 
 def test_host_rescue_y_is_mean_branch(singular_f32):
-    """y_is_mean=True rescue: weights solve with no sigma weighting."""
+    """y_is_mean=True rescue: weights solve with no sigma weighting.
+    sigma=0.1 pins the host-rescue branch (noise-free mean reconditioning
+    now prefers the on-device prune); the y_is_mean weights math itself
+    ignores sigma."""
     x32, xu32, y32, cov = singular_f32
-    c = LandmarksConditional(x32, xu32, y32, 0.0, cov, y_is_mean=True)
+    c = LandmarksConditional(
+        x32, xu32, y32, 0.0, cov, sigma=0.1, y_is_mean=True
+    )
     w64 = _f64_sparse_weights(cov, x32, xu32, np.asarray(y32, np.float64))
     Ksu = np.asarray(cov(x32[:40], xu32), dtype=np.float64)
     expected = Ksu @ w64
@@ -350,3 +367,42 @@ def test_host_rescue_uncertainty_factors_accurate(singular_f32):
     np.testing.assert_allclose(
         np.asarray(mc, dtype=np.float64), expected, atol=5e-3 * scale
     )
+
+
+def test_noise_free_mean_prefers_prune_over_rescue(singular_f32, caplog, propagate_logs):
+    """The density models' Nyström reconditioning (y_is_mean, sigma=None,
+    no uncertainty factor) takes the on-device pivoted prune instead of the
+    host-f64 rescue, and stays within tolerance of the f64 solve."""
+    import logging
+
+    x32, xu32, y32, cov = singular_f32
+    with caplog.at_level(logging.WARNING, logger="mellon_tpu"):
+        c = LandmarksConditional(
+            x32, xu32, y32, 0.0, cov, sigma=None, y_is_mean=True
+        )
+    messages = " ".join(r.message for r in caplog.records)
+    assert "pruning" in messages
+    assert "host in float64" not in messages
+    got = np.asarray(c._mean(x32), dtype=np.float64)
+
+    # f64 noise-free ground truth on all landmarks
+    from scipy.linalg import solve_triangular as trsm
+
+    m = xu32.shape[0]
+    K = np.asarray(cov(xu32, xu32), dtype=np.float64)
+    Kuf = np.asarray(cov(xu32, x32), dtype=np.float64)
+    hj = 1e-6
+    Lp = None
+    for _ in range(8):
+        try:
+            Lp = np.linalg.cholesky(K + hj * np.eye(m))
+            break
+        except np.linalg.LinAlgError:
+            hj *= 10
+    A = trsm(Lp, Kuf, lower=True)
+    LB = np.linalg.cholesky(np.eye(m) + A @ A.T)
+    cc = trsm(LB, A @ np.asarray(y32, dtype=np.float64), lower=True)
+    w = trsm(Lp.T, trsm(LB.T, cc))
+    want = Kuf.T @ w
+    rmse = np.sqrt(((got - want) ** 2).mean())
+    assert rmse < 0.02 * want.std()
