@@ -147,25 +147,15 @@ def _host_f64_landmarks_weights(K, Kuf, r, sigma, jitter, y_is_mean, per_feature
             op = a.T if trans in (1, "T") else a
             return np.linalg.solve(op, b)
 
-    K = np.asarray(K, dtype=np.float64)
+    from ..ops.linalg import host_cholesky_f64
+
     Kuf = np.asarray(Kuf, dtype=np.float64)
     r = np.asarray(r, dtype=np.float64)
-    m = K.shape[0]
+    m = np.shape(K)[0]
     # the f32-rounded kernel values can leave eigenvalues slightly below
     # -jitter; escalation in f64 is benign (verified: rmse degrades only
     # ~50% even at 1e-3, vs 30x for the f32 escalation this path replaces)
-    host_jitter = max(float(jitter), 1e-12)
-    Lp = None
-    for _ in range(8):
-        try:
-            Lp = np.linalg.cholesky(K + host_jitter * np.eye(m))
-            break
-        except np.linalg.LinAlgError:
-            host_jitter *= 10
-    if Lp is None:
-        raise np.linalg.LinAlgError(
-            "Landmark kernel not factorizable even in float64."
-        )
+    Lp = host_cholesky_f64(K, jitter=jitter)
     A = np_trsm(Lp, Kuf, lower=True)
     eye = np.eye(m)
 
@@ -272,6 +262,10 @@ def _sigma_to_y_cov_factor(sigma, y_cov_factor, n):
     if y_cov_factor is not None:
         return y_cov_factor
 
+    if jnp.ndim(sigma) == 2 and jnp.shape(sigma) == (n, 1):
+        # (n, 1) per-observation sigma (the shape the ambiguity warning
+        # recommends) lifts like a 1-D per-observation vector
+        sigma = jnp.ravel(sigma)
     sigma_ndim = jnp.ndim(sigma)
     if sigma_ndim == 0:
         return jnp.eye(n) * sigma
@@ -291,11 +285,26 @@ def _sigma_to_y_cov_factor(sigma, y_cov_factor, n):
 
 def _process_sigma(sigma, r, A, jitter=DEFAULT_JITTER):
     """Interpret sigma (scalar / element-wise / full covariance) and return
-    sigma-adjusted (r_l, A_l) (parity: ``mellon/conditional.py:138-180``)."""
-    if jnp.isscalar(sigma) or (sigma.shape == r.shape and r.ndim <= 1):
+    sigma-adjusted (r_l, A_l) (parity: ``mellon/conditional.py:138-180``).
+
+    sigma² is floored at ``jitter`` — the same floor ``add_variance``
+    applies on the full-conditional path — so the documented default
+    sigma=0 conditions near-noiselessly instead of dividing by zero (the
+    reference silently returns all-NaN predictions for a default-sigma
+    sparse FunctionEstimator; deliberate fix)."""
+    if jnp.ndim(sigma) == 2 and sigma.shape == (jnp.shape(r)[0], 1):
+        # (n, 1) per-observation sigma — the shape the ambiguity warning
+        # in _is_per_feature_sigma recommends
+        sigma = jnp.ravel(sigma)
+    if jnp.isscalar(sigma) or (sigma.shape == r.shape and r.ndim <= 1) or (
+        jnp.ndim(sigma) == 1 and sigma.shape[0] == jnp.shape(r)[0]
+    ):
         logger.info("Sigma interpreted as element-wise standard deviation.")
-        sigma2 = jnp.square(sigma)
-        r_l = r / sigma2
+        sigma2 = jnp.maximum(jnp.square(sigma), jitter)
+        if jnp.ndim(sigma2) == 1 and jnp.ndim(r) > 1:
+            r_l = r / sigma2[:, None]
+        else:
+            r_l = r / sigma2
         A_l = A / sigma2
     elif sigma.shape == r.shape and r.ndim > 1:
         logger.error("Sigma as distinct noise per output is not implemented.")
@@ -344,15 +353,18 @@ def _leverage_sigma_is_per_feature(conditional, sigma, n_eval):
     per-feature (mirroring ``_is_per_feature_sigma``'s shape rules)."""
     if jnp.ndim(sigma) == 0:
         return False
-    if jnp.ndim(sigma) == 2:
-        return True
     stored = getattr(conditional, "sigma", None)
     if (
         stored is not None
         and jnp.ndim(stored) == jnp.ndim(sigma)
         and jnp.shape(stored) == jnp.shape(sigma)
     ):
+        # the stored flag wins, including for a full-covariance (n, n)
+        # sigma (per_feature_sigma=False), which the leverage formulas
+        # reject with an informative error downstream
         return bool(getattr(conditional, "per_feature_sigma", False))
+    if jnp.ndim(sigma) == 2:
+        return True
     if jnp.shape(sigma)[0] == n_eval:
         return False
     return True
@@ -394,17 +406,25 @@ def _hat_diagonal(B, K_uu, sigma, jitter, per_feature=False):
         return jnp.sum(_hp(B, jnp.linalg.inv(M)) * B, axis=1)
 
     def _dev_per_obs(sigma_col):
-        inv_s2 = 1.0 / jnp.square(sigma_col)
+        # floored at jitter so a zero noise entry cannot divide by zero
+        inv_s2 = 1.0 / jnp.maximum(jnp.square(sigma_col), jitter)
         Bw = B * inv_s2[:, None]
         M = stabilize(K_uu + _hp(B.T, Bw), jitter)
         return jnp.sum(_hp(B, jnp.linalg.inv(M)) * Bw, axis=1)
 
+    if not per_feature and jnp.ndim(sigma) == 2 and jnp.shape(sigma)[1] == 1:
+        sigma = jnp.ravel(sigma)  # (n, 1) per-observation
     if per_feature and jnp.ndim(sigma) == 2:
         _check_per_obs_length(sigma.shape[0])
         h = jax.vmap(_dev_per_obs, in_axes=1, out_axes=1)(sigma)
     elif per_feature:
         h = jax.vmap(_dev_scalar)(jnp.atleast_1d(sigma)).T
-    elif jnp.ndim(sigma) >= 1:
+    elif jnp.ndim(sigma) >= 2:
+        raise NotImplementedError(
+            "Leverage with a full-covariance sigma is not supported; "
+            "supply a scalar, per-feature, or per-observation sigma."
+        )
+    elif jnp.ndim(sigma) == 1:
         sigma_obs = jnp.ravel(sigma)
         _check_per_obs_length(sigma_obs.shape[0])
         h = _dev_per_obs(sigma_obs)
@@ -568,11 +588,13 @@ class _FullConditional:
         prediction = mu + _hp(K, weights)
 
         def _lev_one(sigma_g):
-            L = jnp.linalg.cholesky(
-                stabilize(K + sigma_g**2 * jnp.eye(n), jitter)
-            )
+            # sigma² floored at jitter (as in add_variance): with sigma=0
+            # the raw formula gives h = 1 exactly and the HC3 correction
+            # divides by (1-h)² = 0
+            s2 = jnp.maximum(sigma_g**2, jitter)
+            L = jnp.linalg.cholesky(stabilize(K + s2 * jnp.eye(n), jitter))
             Linv = solve_triangular(L, jnp.eye(n), lower=True)
-            return 1 - sigma_g**2 * jnp.sum(jnp.square(Linv), axis=0)
+            return 1 - s2 * jnp.sum(jnp.square(Linv), axis=0)
 
         if per_feature:
             sigma_pf = _normalize_per_feature_sigma(sigma)
@@ -634,17 +656,33 @@ class _FullConditional:
         K_train = self.cov_func(x, x)
 
         def _lev_one(sigma_g):
+            # sigma² floored at jitter (see _compute_obs_variance)
+            s2 = jnp.maximum(sigma_g**2, jitter)
             L = jnp.linalg.cholesky(
-                stabilize(K_train + sigma_g**2 * jnp.eye(n), jitter)
+                stabilize(K_train + s2 * jnp.eye(n), jitter)
             )
             Linv = solve_triangular(L, jnp.eye(n), lower=True)
-            return 1 - sigma_g**2 * jnp.sum(jnp.square(Linv), axis=0)
+            return 1 - s2 * jnp.sum(jnp.square(Linv), axis=0)
 
+        if Xnew is not None and jnp.shape(Xnew)[0] != n:
+            raise ValueError(
+                f"Leverage of the full conditional is defined at the "
+                f"{n:,} training points but {jnp.shape(Xnew)[0]:,} points "
+                "were given (parity: ``mellon/conditional.py:375-400`` "
+                "evaluates at the training geometry)."
+            )
         if _leverage_sigma_is_per_feature(self, sigma, n):
             sigma = _normalize_per_feature_sigma(sigma)
             sigma_in_axis = 1 if jnp.ndim(sigma) == 2 else 0
             return jax.vmap(_lev_one, in_axes=sigma_in_axis)(sigma).T
 
+        if jnp.ndim(sigma) == 2 and jnp.shape(sigma)[1] == 1:
+            sigma = jnp.ravel(sigma)  # (n, 1) per-observation
+        if jnp.ndim(sigma) >= 2:
+            raise NotImplementedError(
+                "Leverage with a full-covariance sigma is not supported; "
+                "supply a scalar, per-feature, or per-observation sigma."
+            )
         sigma_eff = sigma if jnp.ndim(sigma) == 0 else jnp.ravel(sigma)
         return _lev_one(sigma_eff)
 
@@ -791,7 +829,7 @@ class _LandmarksConditional:
                 Ar = _hp(A, r)  # (m, p)
 
                 def _solve_one(sigma_g, Ar_g):
-                    sigma2 = jnp.square(sigma_g)
+                    sigma2 = jnp.maximum(jnp.square(sigma_g), jitter)
                     LBB = stabilize(S / sigma2, 1)
                     L_B = jnp.linalg.cholesky(LBB)
                     c = solve_triangular(L_B, Ar_g / sigma2, lower=True)
@@ -806,7 +844,7 @@ class _LandmarksConditional:
                 # (n, p) sigma: the weighting is per observation, so each
                 # feature needs its own product
                 def _solve_one(sigma_g, r_g):
-                    sigma2 = jnp.square(sigma_g)
+                    sigma2 = jnp.maximum(jnp.square(sigma_g), jitter)
                     r_l = r_g / sigma2
                     A_l = A / sigma2
                     w, _ = _sparse_solve(Lp, A, r_l, A_l)
@@ -885,9 +923,9 @@ class _LandmarksConditional:
 
             try:
                 from scipy.linalg import solve_triangular as _np_trsm
-            except Exception:  # pragma: no cover
+            except Exception:  # pragma: no cover - scipy is present
                 def _np_trsm(a, b, lower=False):
-                    return _np.linalg.solve(a if lower else a, b)
+                    return _np.linalg.solve(a, b)
 
             Lp64, LB64, A64, _ = host64
             y64 = _np.asarray(y_l, dtype=_np.float64)
@@ -943,7 +981,7 @@ class _LandmarksConditional:
             r_var = corrected_r2 - variance_mu
 
             def _var_solve_one(sigma_g, r_var_g):
-                sigma2 = jnp.square(sigma_g)
+                sigma2 = jnp.maximum(jnp.square(sigma_g), jitter)
                 r_l = r_var_g / sigma2
                 A_l = A / sigma2
                 w, _ = _sparse_solve(Lp, A, r_l, A_l)
@@ -1109,6 +1147,14 @@ class _LandmarksConditionalCholesky:
         self.L = L
         self._state_variables.add("L")
 
+        if sigma is None:
+            # the L-recompute branch above consumed sigma into the noise
+            # factor; reuse the original for the uncertainty push-through
+            # (the reference crashes here with eye * None)
+            sigma = original_sigma
+        if sigma is None:
+            # raises the informative "No input uncertainty specified" error
+            _sigma_to_y_cov_factor(None, None, xu.shape[0])
         if jnp.ndim(sigma) == 1:
             Stds = jnp.diag(sigma)
         else:

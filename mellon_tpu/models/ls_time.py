@@ -123,7 +123,12 @@ def _batched_ls_time_densities(
         return None  # the per-time estimator raises the documented error
     T = len(ut)
     n_pad = int(sizes.max())
-    jitter = float(kw.get("jitter") or DEFAULT_JITTER)
+    jitter_kw = kw.get("jitter")
+    if jitter_kw is not None and not (
+        isinstance(jitter_kw, (int, float)) and jitter_kw > 0
+    ):
+        return None  # let the per-time estimator raise its validation error
+    jitter = float(jitter_kw) if jitter_kw is not None else DEFAULT_JITTER
 
     logger.info(
         f"Batched ls_time fits: {T} time points padded to {n_pad:,} cells "
@@ -164,7 +169,8 @@ def _batched_ls_time_densities(
     n_t = jnp.asarray(sizes, dtype=xg.dtype)
 
     ls_given = kw.get("ls")
-    ls_factor = float(kw.get("ls_factor") or 1)
+    ls_factor_kw = kw.get("ls_factor")
+    ls_factor = float(ls_factor_kw) if ls_factor_kw is not None else 1.0
     mu_given = kw.get("mu")
 
     from ..ops.kernels import eval_operand_spec
@@ -223,7 +229,7 @@ def _batched_ls_time_densities(
     # factorization of the f32-rounded kernel values for still-singular
     # groups (full per-time kernels are routinely f32-singular — the loop
     # path pays exactly this ladder per time point)
-    jitters = np.full(T, jitter, dtype=np.asarray(xg).dtype)
+    jitters = np.full(T, jitter, dtype=np.dtype(str(xg.dtype)))
     L_stack, bad = chol(K_stack, jnp.asarray(jitters))
     bad = np.asarray(bad)
     tries = 0
@@ -242,24 +248,20 @@ def _batched_ls_time_densities(
             "after jitter escalation; factorizing those groups on the host "
             "in float64."
         )
+        from ..ops.linalg import host_cholesky_f64
+
         L_host = np.array(L_stack)  # writable copy
         bad_idx = np.flatnonzero(bad)
         # fetch only the still-singular groups' kernels
         K_bad = np.asarray(
             jax.device_get(K_stack[jnp.asarray(bad_idx)]), dtype=np.float64
         )
-        eye = np.eye(n_pad)
         for j_g, g in enumerate(bad_idx):
-            hj = max(float(jitter), 1e-12)
-            for _ in range(8):
-                try:
-                    L_host[g] = np.linalg.cholesky(K_bad[j_g] + hj * eye).astype(
-                        L_host.dtype
-                    )
-                    break
-                except np.linalg.LinAlgError:
-                    hj *= 10
-            else:
+            try:
+                L_host[g] = host_cholesky_f64(K_bad[j_g], jitter=jitter).astype(
+                    L_host.dtype
+                )
+            except np.linalg.LinAlgError:
                 return None  # genuinely unfactorizable: exact loop decides
         L_stack = jnp.asarray(L_host)
 

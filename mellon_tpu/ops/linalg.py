@@ -89,18 +89,12 @@ def safe_cholesky(K, jitter=DEFAULT_JITTER, max_tries=0):
             "Cholesky failed after jitter escalation; "
             "factorizing once on host in float64."
         )
-        A_host = np.asarray(jax.device_get(K), dtype=np.float64)
-        host_jitter = max(jitter, DEFAULT_JITTER)
-        A_host[np.diag_indices_from(A_host)] += host_jitter
-        for _ in range(8):
-            try:
-                L_host = np.linalg.cholesky(A_host)
-                L = jnp.asarray(L_host, dtype=K.dtype)
-                ok = True
-                break
-            except np.linalg.LinAlgError:
-                A_host[np.diag_indices_from(A_host)] += 9 * host_jitter
-                host_jitter *= 10
+        try:
+            L_host = host_cholesky_f64(K, jitter=max(jitter, DEFAULT_JITTER))
+            L = jnp.asarray(L_host, dtype=K.dtype)
+            ok = True
+        except np.linalg.LinAlgError:
+            pass
     # ok already encodes the NaN check (see _jittered_cholesky) — no second
     # device round trip needed when the factorization succeeded
     if not ok:
@@ -373,6 +367,34 @@ def select_stable_landmarks(K, rel_tol=PIVOT_REL_TOL, max_rank=None, quantize=Tr
     import numpy as np
 
     return np.asarray(piv[:r])
+
+
+def host_cholesky_f64(K, jitter=DEFAULT_JITTER, max_tries=8):
+    """Lower Cholesky of ``K`` computed on the host in float64 with
+    geometric jitter escalation (x10 per retry from max(jitter, 1e-12)).
+
+    Shared rescue primitive for f32-singular PSD kernels (used by
+    safe_cholesky's final fallback, the landmarks-conditional host rescue,
+    and the batched ls_time fits).  Accepts a numpy or JAX array; returns
+    a float64 numpy array.  Raises numpy.linalg.LinAlgError when the
+    matrix is not factorizable within the escalation budget.
+    """
+    import numpy as np
+
+    A = np.asarray(jax.device_get(K), dtype=np.float64)
+    m = A.shape[0]
+    hj = max(float(jitter), 1e-12)
+    for _ in range(max_tries):
+        try:
+            return np.linalg.cholesky(A + hj * np.eye(m))
+        except np.linalg.LinAlgError:
+            hj *= 10
+    import numpy.linalg as _nl
+
+    raise _nl.LinAlgError(
+        "Matrix not factorizable on the host in float64 even after "
+        f"{max_tries} jitter escalations."
+    )
 
 
 def solve_psd_from_cholesky(L, b):

@@ -281,3 +281,102 @@ def test_landmarks_uncertainty_per_feature_raises_informative():
     )
     with pytest.raises(ValueError, match="without uncertainty"):
         c._mean_covariance(x[:5])
+
+
+def test_default_sigma_zero_sparse_is_finite():
+    """The documented default sigma=0 must condition near-noiselessly
+    (sigma² floored at jitter, like add_variance on the full path) — the
+    reference silently returns all-NaN sparse predictions here."""
+    key = jax.random.PRNGKey(12)
+    x = jax.random.uniform(key, (60, 2), minval=-2, maxval=2)
+    y = jnp.sin(x[:, 0])
+    est = FunctionEstimator(n_landmarks=15)  # sigma defaults to 0
+    yp = est.fit_predict(x, y)
+    assert bool(jnp.all(jnp.isfinite(yp)))
+    assert float(jnp.sqrt(jnp.mean((yp - y) ** 2))) < 0.2
+
+
+def test_default_sigma_zero_full_obs_variance_is_finite():
+    """obs_variance with the default sigma=0 on the full path: the raw
+    formula gives h=1 exactly and the HC3 correction divides by zero."""
+    key = jax.random.PRNGKey(13)
+    x = jax.random.uniform(key, (30, 2), minval=-2, maxval=2)
+    y = jnp.sin(x[:, 0])
+    est = FunctionEstimator(gp_type="full", obs_variance=True)
+    est.fit(x, y)
+    ov = np.asarray(est.predict.obs_variance(x))
+    assert np.all(np.isfinite(ov))
+
+
+def test_n1_sigma_is_per_observation():
+    """(n, 1) sigma — the shape the ambiguity warning recommends — must be
+    accepted as per-observation noise (the reference's own advice crashes
+    in _process_sigma)."""
+    key = jax.random.PRNGKey(14)
+    n = 40
+    x = jax.random.uniform(key, (n, 2), minval=-2, maxval=2)
+    y = jnp.sin(x[:, 0])
+    sigma_n1 = (0.1 + 0.2 * jax.random.uniform(jax.random.fold_in(key, 1), (n,)))[
+        :, None
+    ]
+    est = FunctionEstimator(n_landmarks=12, sigma=sigma_n1)
+    yp = est.fit_predict(x, y)
+    assert bool(jnp.all(jnp.isfinite(yp)))
+    # equals the 1-D per-observation fit
+    est2 = FunctionEstimator(n_landmarks=12, sigma=jnp.ravel(sigma_n1))
+    yp2 = est2.fit_predict(x, y)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yp2), atol=1e-6)
+    # leverage works and is (n,)
+    h = np.asarray(est.predict.leverage(x))
+    assert h.shape == (n,)
+
+
+def test_full_covariance_sigma_leverage_raises_informative():
+    """A stored full-covariance (n, n) sigma fits, but leverage must raise
+    the informative NotImplementedError instead of returning a wrong
+    surface."""
+    from mellon_tpu.inference.conditionals import LandmarksConditional
+    from mellon_tpu.ops.kernels import Matern52
+
+    key = jax.random.PRNGKey(15)
+    n = 24
+    x = jax.random.uniform(key, (n, 2), minval=-2, maxval=2)
+    xu = x[::2]
+    y = jnp.sin(x[:, 0])
+    F = np.random.RandomState(0).randn(n, 3)
+    Sigma = jnp.asarray(F @ F.T * 0.01 + 0.05 * np.eye(n))
+    c = LandmarksConditional(x, xu, y, 0.0, Matern52(1.0), sigma=Sigma)
+    with pytest.raises(NotImplementedError, match="full-covariance"):
+        c._leverage(x, Sigma)
+
+
+def test_full_conditional_leverage_rejects_wrong_count():
+    """The full conditional's leverage is defined at the training geometry;
+    a different point count raises a clear error instead of broadcasting
+    garbage."""
+    key = jax.random.PRNGKey(16)
+    x = jax.random.uniform(key, (30, 2), minval=-2, maxval=2)
+    y = jnp.sin(x[:, 0])
+    est = FunctionEstimator(gp_type="full", sigma=0.1)
+    est.fit(x, y)
+    with pytest.raises(ValueError, match="training points"):
+        est.predict.leverage(x[:10])
+
+
+def test_cholesky_conditional_uncertainty_noisy_latents():
+    """LandmarksConditionalCholesky with y_is_mean=False, L=None, and
+    with_uncertainty=True: the W factor uses the original sigma (the
+    reference crashes with eye * None)."""
+    from mellon_tpu.inference.conditionals import LandmarksConditionalCholesky
+    from mellon_tpu.ops.kernels import Matern52
+
+    key = jax.random.PRNGKey(17)
+    xu = jax.random.uniform(key, (12, 2), minval=-2, maxval=2)
+    z = jax.random.normal(jax.random.fold_in(key, 1), (12,))
+    c = LandmarksConditionalCholesky(
+        xu, z, 0.0, Matern52(1.0), n_obs=40, sigma=0.5,
+        y_is_mean=False, with_uncertainty=True,
+    )
+    mc = np.asarray(c._mean_covariance(xu[:5]))
+    assert mc.shape == (5,)
+    assert np.all(np.isfinite(mc))
