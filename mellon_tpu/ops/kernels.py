@@ -506,196 +506,145 @@ class Pow(CovariancePair):
         return k_grad
 
 
-class Matern32(Covariance):
-    R"""Matern-3/2: :math:`(1 + \sqrt{3} r / l) e^{-\sqrt{3} r / l}`
-    (parity: ``mellon/cov.py:6-100``)."""
+class _RadialKernel(Covariance):
+    """Shared machinery for isotropic kernels k(x, y) = g(c·‖x−y‖/ls).
 
-    _spec_tag = "matern32"
-    _spec_params = ('ls',)
+    Every radial kernel is fully described by its distance prefactor
+    ``_r_scale`` (e.g. √5 for Matern-5/2) and the scalar derivative
+    ``_dk_dr(r)`` of its profile g with respect to the scaled distance
+    r = ``_r_scale``·‖x−y‖/ls.  The analytic pairwise gradient
+    ∂k(x,y)/∂y is then the chain rule g'(r)·∂r/∂y, assembled once here
+    instead of per kernel (re-derivation of ``mellon/cov.py:163-202`` in
+    scalar-profile form; behavior pinned by tests/test_ops.py against
+    autodiff).
+    """
+
+    _r_scale = 1.0
+    _spec_params = ("ls",)
 
     def __init__(self, ls=1.0, active_dims=None):
         super().__init__()
         self.ls = ls
         self.active_dims = active_dims
+
+    def _dk_dr(self, r):
+        """d g / d r of the radial profile at scaled distance r."""
+        raise NotImplementedError
+
+    def k_grad(self, x):
+        """Analytic ∂k(x, ·)/∂y, vectorized over row blocks of y."""
+        full_x_shape = x.shape
+        dims = self.active_dims
+        x_act = select_active_dims(x, dims)
+        pairwise = distance_grad(x_act)
+        scale = self._r_scale / self.ls
+
+        def grad_fn(y):
+            y_act = select_active_dims(y, dims)
+            dist, ddist_dy = pairwise(y_act)
+            chain = self._dk_dr(scale * dist[..., None]) * (scale * ddist_dy)
+            full = full_x_shape[:-1] + y.shape
+            return expand_to_inactive(chain, full, dims)
+
+        return grad_fn
+
+
+class Matern32(_RadialKernel):
+    R"""Matern-3/2: :math:`(1 + \sqrt{3} r / l) e^{-\sqrt{3} r / l}`
+    (parity: ``mellon/cov.py:6-100``)."""
+
+    _spec_tag = "matern32"
+    _r_scale = 3.0**0.5
 
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
         return _matern32_vals(x, y, self.ls)
 
-    def k_grad(self, x):
-        x_shape = x.shape
-        active_dims = self.active_dims
-        x = select_active_dims(x, active_dims)
-        dist_grad = distance_grad(x)
-        factor = jnp.sqrt(3.0) / self.ls
-
-        def k_grad(y):
-            y_shape = y.shape
-            y = select_active_dims(y, active_dims)
-            dist, grad = dist_grad(y)
-            r = -factor * dist[..., None]
-            dr = factor * grad
-            similarity_grad = r * dr * jnp.exp(r)
-            target_shape = x_shape[:-1] + y_shape
-            return expand_to_inactive(similarity_grad, target_shape, active_dims)
-
-        return k_grad
+    def _dk_dr(self, r):
+        # g(r) = (1 + r)·e^{-r}  ⇒  g'(r) = -r·e^{-r}
+        return -r * jnp.exp(-r)
 
 
-class Matern52(Covariance):
+class Matern52(_RadialKernel):
     R"""Matern-5/2 (the default kernel):
     :math:`(1 + \sqrt{5} r / l + 5 r^2 / (3 l^2)) e^{-\sqrt{5} r / l}`
     (parity: ``mellon/cov.py:103-202``)."""
 
     _spec_tag = "matern52"
-    _spec_params = ('ls',)
-
-    def __init__(self, ls=1.0, active_dims=None):
-        super().__init__()
-        self.ls = ls
-        self.active_dims = active_dims
+    _r_scale = 5.0**0.5
 
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
         return _matern52_vals(x, y, self.ls)
 
-    def k_grad(self, x):
-        x_shape = x.shape
-        active_dims = self.active_dims
-        x = select_active_dims(x, active_dims)
-        dist_grad = distance_grad(x)
-        factor = jnp.sqrt(5.0) / self.ls
-
-        def k_grad(y):
-            y_shape = y.shape
-            y = select_active_dims(y, active_dims)
-            dist, grad = dist_grad(y)
-            r = factor * dist[..., None]
-            dr = factor * grad
-            similarity_grad = -1 / 3 * jnp.exp(-r) * r * (r + 1) * dr
-            target_shape = x_shape[:-1] + y_shape
-            return expand_to_inactive(similarity_grad, target_shape, active_dims)
-
-        return k_grad
+    def _dk_dr(self, r):
+        # g(r) = (1 + r + r²/3)·e^{-r}  ⇒  g'(r) = -(r + r²)/3·e^{-r}
+        return -(r + jnp.square(r)) / 3 * jnp.exp(-r)
 
 
-class ExpQuad(Covariance):
+class ExpQuad(_RadialKernel):
     R"""Squared-exponential: :math:`e^{-r^2 / (2 l^2)}`
     (parity: ``mellon/cov.py:205-299``)."""
 
     _spec_tag = "expquad"
-    _spec_params = ('ls',)
-
-    def __init__(self, ls=1.0, active_dims=None):
-        super().__init__()
-        self.ls = ls
-        self.active_dims = active_dims
 
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
         return _expquad_vals(x, y, self.ls)
 
-    def k_grad(self, x):
-        x_shape = x.shape
-        active_dims = self.active_dims
-        x = select_active_dims(x, active_dims)
-        dist_grad = distance_grad(x)
-
-        def k_grad(y):
-            y_shape = y.shape
-            y = select_active_dims(y, active_dims)
-            dist, grad = dist_grad(y)
-            r = dist[..., None] / self.ls
-            dr = grad / self.ls
-            similarity_grad = -r * dr * jnp.exp(-jnp.square(r) / 2)
-            target_shape = x_shape[:-1] + y_shape
-            return expand_to_inactive(similarity_grad, target_shape, active_dims)
-
-        return k_grad
+    def _dk_dr(self, r):
+        # g(r) = e^{-r²/2}  ⇒  g'(r) = -r·e^{-r²/2}
+        return -r * jnp.exp(-jnp.square(r) / 2)
 
 
-class Exponential(Covariance):
+class Exponential(_RadialKernel):
     R"""Exponential: :math:`e^{-r / (2 l)}` (parity: ``mellon/cov.py:302-396``)."""
 
     _spec_tag = "exponential"
-    _spec_params = ('ls',)
-
-    def __init__(self, ls=1.0, active_dims=None):
-        super().__init__()
-        self.ls = ls
-        self.active_dims = active_dims
 
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
         return _exponential_vals(x, y, self.ls)
 
-    def k_grad(self, x):
-        x_shape = x.shape
-        active_dims = self.active_dims
-        x = select_active_dims(x, active_dims)
-        dist_grad = distance_grad(x)
-
-        def k_grad(y):
-            y_shape = y.shape
-            y = select_active_dims(y, active_dims)
-            dist, grad = dist_grad(y)
-            dr = grad / self.ls
-            r = dist[..., None] / self.ls
-            similarity_grad = -1 / 2 * dr * jnp.exp(-r / 2)
-            target_shape = x_shape[:-1] + y_shape
-            return expand_to_inactive(similarity_grad, target_shape, active_dims)
-
-        return k_grad
+    def _dk_dr(self, r):
+        # g(r) = e^{-r/2}  ⇒  g'(r) = -e^{-r/2}/2
+        return -jnp.exp(-r / 2) / 2
 
 
-class RatQuad(Covariance):
+class RatQuad(_RadialKernel):
     R"""Rational quadratic: :math:`(1 + r^2/(2\alpha l^2))^{-\alpha}`
     (parity: ``mellon/cov.py:399-499``)."""
 
     _spec_tag = "ratquad"
-    _spec_params = ('ls', 'alpha')
+    _spec_params = ("ls", "alpha")
 
     def __init__(self, alpha=1.0, ls=1.0, active_dims=None):
-        super().__init__()
-        self.ls = ls
+        super().__init__(ls=ls, active_dims=active_dims)
         self.alpha = alpha
-        self.active_dims = active_dims
 
     def k(self, x, y):
         x = select_active_dims(x, self.active_dims)
         y = select_active_dims(y, self.active_dims)
         return _ratquad_vals(x, y, self.ls, self.alpha)
 
-    def k_grad(self, x):
-        x_shape = x.shape
-        active_dims = self.active_dims
-        x = select_active_dims(x, active_dims)
-        dist_grad = distance_grad(x)
-
-        def k_grad(y):
-            y_shape = y.shape
-            y = select_active_dims(y, active_dims)
-            dist, grad = dist_grad(y)
-            r = dist[..., None] / self.ls
-            dr = grad / self.ls
-            similarity_grad = (
-                -r * dr * (jnp.square(r) / (2 * self.alpha) + 1) ** (-self.alpha - 1)
-            )
-            target_shape = x_shape[:-1] + y_shape
-            return expand_to_inactive(similarity_grad, target_shape, active_dims)
-
-        return k_grad
+    def _dk_dr(self, r):
+        # g(r) = (1 + r²/2α)^{-α}  ⇒  g'(r) = -r·(1 + r²/2α)^{-α-1}
+        return -r * (jnp.square(r) / (2 * self.alpha) + 1) ** (-self.alpha - 1)
 
 
 class Linear(Covariance):
-    R"""Linear: :math:`x \cdot y / l` (parity: ``mellon/cov.py:502-592``)."""
+    R"""Linear: :math:`x \cdot y / l` (parity: ``mellon/cov.py:502-592``).
+
+    Not radial — k depends on the inner product, so ∂k(x,y)/∂y = x/ls
+    independently of y.
+    """
 
     _spec_tag = "linear"
-    _spec_params = ('ls',)
+    _spec_params = ("ls",)
 
     def __init__(self, ls=1.0, active_dims=None):
         super().__init__()
@@ -708,15 +657,18 @@ class Linear(Covariance):
         return _linear_vals(x, y, self.ls)
 
     def k_grad(self, x):
-        x_shape = x.shape
-        active_dims = self.active_dims
-        x = select_active_dims(x, active_dims)
+        full_x_shape = x.shape
+        dims = self.active_dims
+        x_act = select_active_dims(x, dims)
 
-        def k_grad(y):
-            y_shape = y.shape
-            y = select_active_dims(y, active_dims)
-            similarity_grad = jnp.repeat(x[:, None, :], y.shape[0], axis=1) / self.ls
-            target_shape = x_shape[:-1] + y_shape
-            return expand_to_inactive(similarity_grad, target_shape, active_dims)
+        def grad_fn(y):
+            y_act = select_active_dims(y, dims)
+            n_y = y_act.shape[0]
+            rows = jnp.broadcast_to(
+                x_act[:, None, :],
+                (x_act.shape[0], n_y, x_act.shape[-1]),
+            )
+            full = full_x_shape[:-1] + y.shape
+            return expand_to_inactive(rows / self.ls, full, dims)
 
-        return k_grad
+        return grad_fn

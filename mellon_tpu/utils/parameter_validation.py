@@ -1,7 +1,10 @@
 """Cross-parameter compatibility checks.
 
 Behavioural parity target: ``mellon/parameter_validation.py`` — the estimator
-test-suite treats this decision/validation table as a contract.
+test-suite treats this decision/validation table as a contract (which
+combinations of ``gp_type`` / ``rank`` / ``n_landmarks`` raise).  The message
+text and control flow here are this framework's own; only the accept/reject
+decisions mirror the reference.
 """
 
 import logging
@@ -11,176 +14,210 @@ from .validation import validate_positive_int, validate_float_or_int
 
 logger = logging.getLogger("mellon_tpu")
 
+_SPARSE_TYPES = frozenset(
+    {
+        GaussianProcessType.SPARSE_CHOLESKY,
+        GaussianProcessType.SPARSE_NYSTROEM,
+    }
+)
+_FULL_TYPES = frozenset(
+    {GaussianProcessType.FULL, GaussianProcessType.FULL_NYSTROEM}
+)
+_NYSTROEM_TYPES = frozenset(
+    {GaussianProcessType.FULL_NYSTROEM, GaussianProcessType.SPARSE_NYSTROEM}
+)
+
+
+def _reject(message):
+    logger.error(message)
+    raise ValueError(message)
+
+
+def _rank_basis_size(gp_type, n_samples, n_landmarks):
+    """Number of eigenvectors available for truncation under ``gp_type``:
+    the landmark count for sparse processes, the cell count for full ones,
+    and ``None`` for types without a Nyström stage (e.g. FIXED)."""
+    if gp_type in _SPARSE_TYPES:
+        return n_landmarks
+    if gp_type in _FULL_TYPES:
+        return n_samples
+    return None
+
+
+def _rank_is_effectively_full(rank, basis_size):
+    """Whether ``rank`` denotes "keep everything" rather than a strict
+    truncation.  Sentinels: 0 (either type) and fractions >= 1.0 mean full
+    rank; an integer rank only counts as full when it reaches the basis
+    size.  Bools and other types are never treated as full rank here —
+    upstream scalar validation rejects them."""
+    if rank == 0:
+        return True
+    if type(rank) is float:
+        return rank >= 1.0
+    if type(rank) is int:
+        return basis_size is not None and rank >= basis_size
+    return False
+
 
 def validate_landmark_params(n_landmarks, landmarks):
-    """Parity: ``mellon/parameter_validation.py:13-31``."""
-    if landmarks is not None and n_landmarks != landmarks.shape[0]:
-        n_spec = landmarks.shape[0]
-        message = (
-            f"There are {n_spec:,} landmarks specified but "
-            f"n_landmarks={n_landmarks:,}. "
-            "Please omit specifying n_landmarks if landmarks are given."
+    """Explicit landmarks fix the landmark count; a conflicting
+    ``n_landmarks`` is a user error, not something to silently override.
+
+    Decision parity: ``mellon/parameter_validation.py:13-31``.
+    """
+    if landmarks is None:
+        return
+    n_given = landmarks.shape[0]
+    if n_landmarks != n_given:
+        _reject(
+            f"landmarks has {n_given:,} rows, which conflicts with "
+            f"n_landmarks={n_landmarks:,}. When passing landmarks "
+            "explicitly, leave n_landmarks unset."
         )
-        logger.error(message)
-        raise ValueError(message)
 
 
 def validate_rank_params(gp_type, n_samples, rank, n_landmarks):
-    """Parity: ``mellon/parameter_validation.py:34-93``."""
-    full_rank_indicated = (
-        type(rank) is int
-        and (
-            (gp_type == GaussianProcessType.SPARSE_CHOLESKY and rank >= n_landmarks)
-            or (gp_type == GaussianProcessType.SPARSE_NYSTROEM and rank >= n_landmarks)
-            or (gp_type == GaussianProcessType.FULL and rank >= n_samples)
-            or (gp_type == GaussianProcessType.FULL_NYSTROEM and rank >= n_samples)
+    """A Nyström ``gp_type`` must actually truncate, and a truncating
+    ``rank`` must come with a Nyström ``gp_type``.
+
+    Decision parity: ``mellon/parameter_validation.py:34-93``.
+    """
+    basis_size = _rank_basis_size(gp_type, n_samples, n_landmarks)
+    keeps_full_rank = _rank_is_effectively_full(rank, basis_size)
+    is_nystroem = gp_type in _NYSTROEM_TYPES
+
+    if keeps_full_rank and is_nystroem:
+        basis_name = (
+            "landmarks" if gp_type in _SPARSE_TYPES else "cells"
         )
-        or type(rank) is float
-        and rank >= 1.0
-        or rank == 0
-    )
-    if full_rank_indicated:
-        if gp_type == GaussianProcessType.FULL_NYSTROEM:
-            message = (
-                f"Gaussian Process type {gp_type} requires "
-                "fractional 0 < rank < 1 or integer "
-                f"0 < rank < {n_samples:,} (number of cells) "
-                f"but the actual rank is {rank}."
-            )
-            logger.error(message)
-            raise ValueError(message)
-        elif gp_type == GaussianProcessType.SPARSE_NYSTROEM:
-            message = (
-                f"Gaussian Process type {gp_type} requires "
-                "fractional 0 < rank < 1 or integer "
-                f"0 < rank < {n_landmarks:,} (number of landmakrs) "
-                f"but the actual rank is {rank}."
-            )
-            logger.error(message)
-            raise ValueError(message)
-    elif (
-        gp_type != GaussianProcessType.FULL_NYSTROEM
-        and gp_type != GaussianProcessType.SPARSE_NYSTROEM
-    ):
-        message = (
-            f"Given rank {rank} indicates Nyström rank reduction. "
-            f"But the Gaussian Process type is set to {gp_type}."
+        _reject(
+            f"rank={rank} keeps the full eigenbasis, but gp_type "
+            f"{gp_type} performs a Nyström reduction: pass a fraction "
+            "0 < rank < 1 (eigenvalue mass to keep) or an integer "
+            f"0 < rank < {basis_size:,} (the number of {basis_name})."
         )
-        logger.error(message)
-        raise ValueError(message)
+    if not keeps_full_rank and not is_nystroem:
+        _reject(
+            f"rank={rank} requests a Nyström rank reduction, which "
+            f"gp_type {gp_type} does not perform. Choose a Nyström "
+            "gp_type or leave rank at full."
+        )
 
 
 def validate_gp_type(gp_type, n_samples, n_landmarks):
-    """Parity: ``mellon/parameter_validation.py:96-146``."""
-    if (
-        (
-            gp_type == GaussianProcessType.FULL
-            or gp_type == GaussianProcessType.FULL_NYSTROEM
-        )
-        and n_landmarks != 0
-        and n_landmarks < n_samples
-    ):
-        message = (
-            f"Gaussian Process type {gp_type} but n_landmarks={n_landmarks:,} "
-            f"is smaller than the number of cells {n_samples:,}. "
-            "Omit n_landmarks or set it to 0 to use "
-            "a non-sparse Gaussian Process or omit gp_type to use a sparse one."
-        )
-        logger.error(message)
-        raise ValueError(message)
-    elif (
-        gp_type == GaussianProcessType.SPARSE_CHOLESKY
-        or gp_type == GaussianProcessType.SPARSE_NYSTROEM
-    ):
-        if n_landmarks == 0:
-            message = (
-                f"Gaussian Process type {gp_type} but n_landmarks=0. "
-                f"Set n_landmarks to a number smaller than the number of "
-                f"cells {n_samples:,} to use a sparse Gaussian Process "
-                "or omit gp_type to use a non-sparse one."
+    """Sparse types need 0 < n_landmarks < n_samples; full types must not be
+    combined with a reducing landmark count.
+
+    Decision parity: ``mellon/parameter_validation.py:96-146``.
+    """
+    if gp_type in _FULL_TYPES:
+        if 0 != n_landmarks and n_landmarks < n_samples:
+            _reject(
+                f"n_landmarks={n_landmarks:,} is below the cell count "
+                f"{n_samples:,}, which would make the process sparse, but "
+                f"gp_type {gp_type} is a full (non-sparse) process. Drop "
+                "n_landmarks (or set it to 0) for a full process, or drop "
+                "gp_type for a sparse one."
             )
-            logger.error(message)
-            raise ValueError(message)
-        elif n_landmarks >= n_samples:
+        return
+    if gp_type in _SPARSE_TYPES:
+        if n_landmarks == 0:
+            _reject(
+                f"gp_type {gp_type} is sparse but n_landmarks=0 disables "
+                "landmarks entirely. Choose n_landmarks below the cell "
+                f"count {n_samples:,}, or drop gp_type for a full process."
+            )
+        if n_landmarks >= n_samples:
             message = (
-                f"Gaussian Process type {gp_type} but n_landmarks="
-                f"{n_landmarks:,} is larger or equal the number of cells "
-                f"{n_samples:,}. Reduce the number of landmarks to use a "
-                "sparse Gaussian Process or omit gp_type to use a non-sparse one."
+                f"gp_type {gp_type} is sparse but n_landmarks="
+                f"{n_landmarks:,} is not below the cell count "
+                f"{n_samples:,}, so no compression happens. Lower "
+                "n_landmarks, or drop gp_type for a full process."
             )
             logger.warning(message)
             raise ValueError(message)
 
 
 def validate_params(rank, gp_type, n_samples, n_landmarks, landmarks):
-    """Parity: ``mellon/parameter_validation.py:149-192``."""
+    """Run the full cross-parameter compatibility table.
+
+    Decision parity: ``mellon/parameter_validation.py:149-192``.
+    """
     n_landmarks = validate_positive_int(n_landmarks, "n_landmarks")
     rank = validate_float_or_int(rank, "rank")
 
     if not isinstance(gp_type, GaussianProcessType):
-        message = (
-            "gp_type needs to be a mellon_tpu GaussianProcessType but is a "
-            f"{type(gp_type)} instead."
+        _reject(
+            "gp_type must be a mellon_tpu.GaussianProcessType, got "
+            f"{type(gp_type)}."
         )
-        logger.error(message)
-        raise ValueError(message)
 
     validate_landmark_params(n_landmarks, landmarks)
     if n_landmarks > n_samples and gp_type != GaussianProcessType.FIXED:
         logger.warning(
-            f"n_landmarks={n_landmarks:,} is larger than the number "
-            f"of cells {n_samples:,}."
+            "n_landmarks=%s exceeds the number of cells (%s).",
+            f"{n_landmarks:,}",
+            f"{n_samples:,}",
         )
     validate_gp_type(gp_type, n_samples, n_landmarks)
     validate_rank_params(gp_type, n_samples, rank, n_landmarks)
 
 
 def validate_cov_func_curry(cov_func_curry, cov_func, param_name):
-    """Parity: ``mellon/parameter_validation.py:195-229``."""
+    """A kernel must arrive either as a curry (class) or an instance.
+
+    Decision parity: ``mellon/parameter_validation.py:195-229``.
+    """
     from ..ops.kernels import Covariance
 
     if cov_func_curry is None and cov_func is None:
         raise ValueError(
-            "At least one of 'cov_func_curry' and 'cov_func' must not be None"
+            "Provide a covariance function: neither 'cov_func_curry' nor "
+            "'cov_func' was given."
         )
     if cov_func_curry is not None:
-        if not isinstance(cov_func_curry, type) or not issubclass(
-            cov_func_curry, Covariance
-        ):
+        is_class = isinstance(cov_func_curry, type)
+        if not is_class or not issubclass(cov_func_curry, Covariance):
             raise ValueError(
-                f"'{param_name}' must be a subclass of mellon_tpu.Covariance"
+                f"'{param_name}' must be a mellon_tpu.Covariance subclass "
+                "(the class itself, not an instance)."
             )
     return cov_func_curry
 
 
 def validate_cov_func(cov_func, param_name, optional=False):
-    """Parity: ``mellon/parameter_validation.py:232-263``."""
+    """Decision parity: ``mellon/parameter_validation.py:232-263``."""
     from ..ops.kernels import Covariance
 
     if cov_func is None and optional:
         return None
     if not isinstance(cov_func, Covariance):
         raise ValueError(
-            f"'{param_name}' must be an instance of a subclass of "
-            "mellon_tpu.Covariance"
+            f"'{param_name}' must be an instance of a "
+            "mellon_tpu.Covariance subclass."
         )
     return cov_func
 
 
 def validate_normalize_parameter(normalize, unique_times):
-    """Parity: ``mellon/parameter_validation.py:266-279``."""
+    """Per-time normalization factors must cover every time point.
+
+    Decision parity: ``mellon/parameter_validation.py:266-279``.
+    """
     import jax.numpy as jnp
 
     if isinstance(normalize, dict):
-        missing_times = [t for t in unique_times if t.item() not in normalize]
-        if missing_times:
+        uncovered = [t for t in unique_times if t.item() not in normalize]
+        if uncovered:
             raise ValueError(
-                f"Missing time point(s) in normalization dictionary: {missing_times}"
+                "The normalization dictionary lacks entries for time "
+                f"point(s): {uncovered}"
             )
-    elif isinstance(normalize, (list, jnp.ndarray)) and len(normalize) != len(
-        unique_times
-    ):
-        raise ValueError(
-            "Length of the normalize list or array must match the number "
-            "of unique time points."
-        )
+        return
+    if isinstance(normalize, (list, jnp.ndarray)):
+        if len(normalize) != len(unique_times):
+            raise ValueError(
+                f"normalize has {len(normalize)} entries but there are "
+                f"{len(unique_times)} unique time points; the counts must "
+                "match."
+            )
