@@ -7,11 +7,15 @@ initialize from the prior and anneal into the posterior along
 π_β(z) ∝ N(z; 0, I) · L(z)^β with β adapted so each stage keeps the
 effective sample size near a target fraction.
 
-Structure: the outer loop over tempering stages is host-side Python (data
-dependent, ~10-40 stages); each stage — weighting, systematic resampling,
-and HMC mutation — is one compiled program over the particle batch axis, so
-placing particles on a mesh axis shards the sweep across devices (the ESS
-reduction and resampling gather become collectives).
+Structure: each tempering stage — batched log-likelihood, the bisection
+search for the next β, weighting, systematic resampling, and HMC mutation —
+is ONE compiled program over the particle batch axis; the host loop makes a
+single blocking fetch per stage (the four scalars driving the step-size
+controller and the β ≥ 1 termination check).  Passing ``mesh=`` (or an
+explicit ``particle_sharding=``) places the particles on a mesh axis and
+shards the whole sweep: the per-particle log-likelihoods and mutations
+partition across devices, and the ESS/evidence ``logsumexp`` reductions and
+the resampling gather lower to collectives under GSPMD.
 """
 
 import functools
@@ -53,30 +57,37 @@ class SMCResult(NamedTuple):
     log_evidence: jnp.ndarray    # log normalizing-constant estimate
 
 
+def _std_normal_logpdf(z):
+    """Module-level default prior: stable identity keeps the stage program's
+    jit key stable across fits."""
+    return -0.5 * jnp.sum(z**2) - 0.5 * z.size * jnp.log(2 * jnp.pi)
+
+
 def _ess_from_log_weights(log_w):
     log_w = log_w - jax.scipy.special.logsumexp(log_w)
     return jnp.exp(-jax.scipy.special.logsumexp(2 * log_w))
 
 
-@jax.jit
-def _ess_for_beta_step(log_lik, delta):
-    return _ess_from_log_weights(delta * log_lik)
+def _next_beta(log_lik, beta, target_ess):
+    """Largest admissible β increment keeping ESS above target — 30
+    bisection steps entirely on device (the old host-side search made ~32
+    blocking fetches per stage; this makes none)."""
+    hi0 = 1.0 - beta
 
+    def ess_at(delta):
+        return _ess_from_log_weights(delta * log_lik)
 
-def _find_next_beta(log_lik, beta, target_ess_frac, num_particles):
-    """Largest admissible beta increment keeping ESS above target via
-    bisection on the (host) adaptive-tempering criterion."""
-    target = target_ess_frac * num_particles
-    lo, hi = 0.0, 1.0 - beta
-    if float(_ess_for_beta_step(log_lik, hi)) >= target:
-        return 1.0
-    for _ in range(30):
+    full_ok = ess_at(hi0) >= target_ess
+
+    def body(_, lo_hi):
+        lo, hi = lo_hi
         mid = 0.5 * (lo + hi)
-        if float(_ess_for_beta_step(log_lik, mid)) >= target:
-            lo = mid
-        else:
-            hi = mid
-    return beta + lo
+        ok = ess_at(mid) >= target_ess
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    zero = jnp.zeros_like(hi0)
+    lo, _ = jax.lax.fori_loop(0, 30, body, (zero, hi0))
+    return jnp.where(full_ok, jnp.ones_like(hi0), beta + lo)
 
 
 def _systematic_resample(key, log_w, num_particles):
@@ -89,25 +100,42 @@ def _systematic_resample(key, log_w, num_particles):
 
 @partial(
     jax.jit,
-    static_argnames=("loglik_fn", "num_mutation_steps", "num_leapfrog_steps"),
+    static_argnames=(
+        "loglik_fn",
+        "prior_logpdf",
+        "num_mutation_steps",
+        "num_leapfrog_steps",
+    ),
 )
-def _smc_mutate(
+def _smc_stage(
     loglik_fn,
+    prior_logpdf,
     particles,
-    keys,
+    key,
     beta,
     step_size,
+    target_ess,
     num_mutation_steps,
     num_leapfrog_steps,
     *loglik_args,
 ):
-    """num_mutation_steps HMC transitions per particle targeting π_beta
-    (one stable executable; model operands threaded)."""
-    dim = particles.shape[1]
+    """One full tempering stage as a single program: weights → next β →
+    evidence/ESS → systematic resampling → HMC mutation.  With sharded
+    particles the reductions and the resampling gather are collectives."""
+    num_particles, dim = particles.shape
+
+    log_lik = jax.vmap(lambda z: loglik_fn(z, *loglik_args))(particles)
+    new_beta = _next_beta(log_lik, beta, target_ess)
+    log_w = (new_beta - beta) * log_lik
+    log_ev_inc = jax.scipy.special.logsumexp(log_w) - jnp.log(num_particles)
+    ess = _ess_from_log_weights(log_w)
+
+    k_res, k_mut = jax.random.split(key)
+    idx = _systematic_resample(k_res, log_w, num_particles)
+    particles = jnp.take(particles, idx, axis=0)
 
     def potential(z):
-        prior = -0.5 * jnp.sum(z**2) - 0.5 * dim * jnp.log(2 * jnp.pi)
-        return -(prior + beta * loglik_fn(z, *loglik_args))
+        return -(prior_logpdf(z) + new_beta * loglik_fn(z, *loglik_args))
 
     kernel = hmc_kernel(potential, num_steps=num_leapfrog_steps)
 
@@ -121,16 +149,13 @@ def _smc_mutate(
             return state, acc + info.accept_prob
 
         state, acc = jax.lax.fori_loop(
-            0, num_mutation_steps, body, (state, jnp.asarray(0.0))
+            0, num_mutation_steps, body, (state, jnp.zeros(()))
         )
         return state.z, acc / num_mutation_steps
 
-    return jax.vmap(one_chain)(particles, keys)
-
-
-@partial(jax.jit, static_argnames=("loglik_fn",))
-def _smc_batched_loglik(loglik_fn, particles, *loglik_args):
-    return jax.vmap(lambda z: loglik_fn(z, *loglik_args))(particles)
+    mut_keys = jax.random.split(k_mut, num_particles)
+    particles, accept = jax.vmap(one_chain)(particles, mut_keys)
+    return particles, new_beta, ess, jnp.mean(accept), log_ev_inc
 
 
 def run_smc(
@@ -146,6 +171,8 @@ def run_smc(
     prior_sample=None,
     prior_logpdf=None,
     loglik_args=(),
+    mesh=None,
+    particle_sharding=None,
 ):
     """Anneal particles from N(0, I) (or a custom prior) to the posterior
     ∝ prior · exp(loglik).
@@ -153,6 +180,13 @@ def run_smc(
     ``loglik_fn`` is either ``f(z)`` or ``f(z, *loglik_args)``; threading the
     operands keeps the compiled stages free of baked constants.  A custom
     prior is only supported with the closure form.
+
+    ``mesh=`` shards the sweep: particles are placed on the mesh's chain
+    axis (``num_particles`` should be divisible by its size) and every
+    per-particle computation partitions across devices; cell-sharded
+    ``loglik_args`` compose with it (chains × cells).  An explicit
+    ``particle_sharding=`` (any ``NamedSharding`` whose spec splits the
+    leading axis) overrides the default placement.
 
     Returns an :class:`SMCResult`; ``log_evidence`` estimates
     log ∫ prior(z) exp(loglik(z)) dz.
@@ -164,105 +198,76 @@ def run_smc(
             "silently target the default N(0, I) prior, biasing the "
             "posterior and evidence estimates."
         )
+    if prior_sample is not None and loglik_args:
+        raise ValueError(
+            "Custom priors require the closure form of loglik_fn."
+        )
+
     key, sub = jax.random.split(key)
     if prior_sample is None:
         particles = jax.random.normal(sub, (num_particles, dim))
+        prior_fn = _std_normal_logpdf
     else:
-        if loglik_args:
-            raise ValueError(
-                "Custom priors require the closure form of loglik_fn."
-            )
         particles = prior_sample(sub, num_particles)
+        prior_fn = prior_logpdf
 
-    if prior_sample is not None and prior_logpdf is not None:
-        # custom-prior path: fall back to closures (no operand threading)
-        base_loglik = loglik_fn
+    if particle_sharding is None and mesh is not None:
+        from ..parallel.mesh import chain_sharding as _chain_sharding
 
-        def threaded_loglik(z):
-            return base_loglik(z)
+        particle_sharding = _chain_sharding(mesh)
+    if particle_sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        def mutate_custom(particles, keys, beta, step_size):
-            def potential(z):
-                return -(prior_logpdf(z) + beta * base_loglik(z))
+        sharding = particle_sharding
+        if isinstance(sharding, NamedSharding) and len(sharding.spec) < 2:
+            sharding = NamedSharding(
+                sharding.mesh, P(*(tuple(sharding.spec) + (None,)))
+            )
+        particles = jax.device_put(particles, sharding)
 
-            kernel = hmc_kernel(potential, num_steps=num_leapfrog_steps)
+    dtype = particles.dtype
+    beta = 0.0
+    betas, ess_hist, accept_hist = [], [], []
+    log_evidence = 0.0
+    step_size = mutation_step_size
+    target_ess = target_ess_frac * num_particles
 
-            def one_chain(z, chain_key):
-                state = hmc_init(potential, z)
-
-                def body(i, carry):
-                    state, acc = carry
-                    k = jax.random.fold_in(chain_key, i)
-                    state, info = kernel(state, k, step_size, jnp.ones(dim))
-                    return state, acc + info.accept_prob
-
-                state, acc = jax.lax.fori_loop(
-                    0, num_mutation_steps, body, (state, jnp.asarray(0.0))
-                )
-                return state.z, acc / num_mutation_steps
-
-            return jax.vmap(one_chain)(particles, keys)
-
-        batched_loglik = jax.jit(jax.vmap(threaded_loglik))
-        mutate = jax.jit(mutate_custom)
-    else:
-        batched_loglik = lambda p: _smc_batched_loglik(
-            loglik_fn, p, *loglik_args
-        )
-        mutate = lambda p, keys, beta, step: _smc_mutate(
+    for stage in range(max_stages):
+        key, sub = jax.random.split(key)
+        particles, new_beta, ess, accept, ev_inc = _smc_stage(
             loglik_fn,
-            p,
-            keys,
-            beta,
-            step,
+            prior_fn,
+            particles,
+            sub,
+            jnp.asarray(beta, dtype),
+            jnp.asarray(step_size, dtype),
+            jnp.asarray(target_ess, dtype),
             num_mutation_steps,
             num_leapfrog_steps,
             *loglik_args,
         )
-
-    beta = 0.0
-    betas, ess_hist, accept_hist = [], [], []
-    log_evidence = jnp.asarray(0.0)
-    step_size = mutation_step_size
-
-    for stage in range(max_stages):
-        log_lik = batched_loglik(particles)
-        new_beta = _find_next_beta(
-            log_lik, beta, target_ess_frac, num_particles
+        # the ONLY host synchronization of the stage: four scalars for the
+        # controller, the logs, and the termination check
+        new_beta, ess, accept, ev_inc = map(
+            float, jax.device_get((new_beta, ess, accept, ev_inc))
         )
-        delta = new_beta - beta
-        log_w = delta * log_lik
-        # evidence increment: log mean exp(delta * loglik)
-        log_evidence = log_evidence + jax.scipy.special.logsumexp(
-            log_w
-        ) - jnp.log(num_particles)
-        ess = float(_ess_from_log_weights(log_w))
-
-        key, k_res, k_mut = jax.random.split(key, 3)
-        idx = _systematic_resample(k_res, log_w, num_particles)
-        particles = particles[idx]
-
-        mut_keys = jax.random.split(k_mut, num_particles)
-        particles, accept = mutate(
-            particles, mut_keys, jnp.asarray(new_beta), jnp.asarray(step_size)
-        )
-        mean_accept = float(accept.mean())
+        log_evidence += ev_inc
 
         # crude step-size controller towards ~65% acceptance
-        if mean_accept < 0.4:
+        if accept < 0.4:
             step_size *= 0.7
-        elif mean_accept > 0.85:
+        elif accept > 0.85:
             step_size *= 1.3
 
         betas.append(new_beta)
         ess_hist.append(ess)
-        accept_hist.append(mean_accept)
+        accept_hist.append(accept)
         logger.info(
             "SMC stage %d: beta=%.4f ess=%.0f accept=%.2f step=%.3g",
             stage,
             new_beta,
             ess,
-            mean_accept,
+            accept,
             step_size,
         )
         beta = new_beta
@@ -277,7 +282,7 @@ def run_smc(
         betas=betas,
         ess_history=ess_hist,
         acceptance_history=accept_hist,
-        log_evidence=log_evidence,
+        log_evidence=jnp.asarray(log_evidence),
     )
 
 

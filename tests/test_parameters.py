@@ -161,7 +161,7 @@ def test_nn_distances_within_time_points():
         xt, d=2, normalize={0.0: 10, 1.0: 20, 2.0: 10}
     )
     assert nn_dict.shape == (30,)
-    with pytest.raises(ValueError, match="Missing time point"):
+    with pytest.raises(ValueError, match="lacks entries for time point"):
         compute_nn_distances_within_time_points(xt, d=2, normalize={0.0: 10})
 
 
