@@ -57,7 +57,53 @@ DEFAULT_COV_FUNC = Matern52
 RANK_FRACTION_THRESHOLD = 0.8
 SAMPLE_LANDMARK_RATIO = 10
 
+# constructor-level sampler configuration accepted via ``sampler_options=``
+# (NEW relative to the reference, which has no samplers): keys for
+# optimizer="nuts" and optimizer="smc" respectively
+_NUTS_OPTION_KEYS = {
+    "num_chains",
+    "num_warmup",
+    "num_samples",
+    "target_accept",
+    "max_tree_depth",
+    "initial_step_size",
+}
+_SMC_OPTION_KEYS = {
+    "num_particles",
+    "target_ess_frac",
+    "num_mutation_steps",
+    "mutation_step_size",
+    "num_leapfrog_steps",
+    "max_stages",
+}
+_SAMPLER_OPTION_KEYS = _NUTS_OPTION_KEYS | _SMC_OPTION_KEYS
+
 logger = logging.getLogger("mellon_tpu")
+
+
+def _validate_sampler_options(options):
+    """Validate the ``sampler_options`` dict (None -> {})."""
+    if options is None:
+        return {}
+    if not isinstance(options, dict):
+        raise ValueError(
+            "sampler_options must be a dict of sampler settings, got "
+            f"{type(options).__name__}."
+        )
+    unknown = set(options) - _SAMPLER_OPTION_KEYS
+    if unknown:
+        raise ValueError(
+            f"Unknown sampler_options key(s) {sorted(unknown)}. "
+            f"NUTS accepts {sorted(_NUTS_OPTION_KEYS)}; "
+            f"SMC accepts {sorted(_SMC_OPTION_KEYS)}."
+        )
+    for name, value in options.items():
+        if not isinstance(value, (int, float)) or value <= 0:
+            raise ValueError(
+                f"sampler_options[{name!r}] must be a positive number, "
+                f"got {value!r}."
+            )
+    return dict(options)
 
 
 class BaseEstimator:
@@ -88,6 +134,7 @@ class BaseEstimator:
         check_rank=None,
         random_state=DEFAULT_RANDOM_SEED,
         precision=None,
+        sampler_options=None,
     ):
         if precision not in (None, "f32", "bf16"):
             raise ValueError(
@@ -136,6 +183,7 @@ class BaseEstimator:
         )
         self.jit = validate_bool(jit, "jit")
         self.check_rank = validate_bool(check_rank, "check_rank", optional=True)
+        self.sampler_options = _validate_sampler_options(sampler_options)
         self.x = None
         self.pre_transformation = None
 
@@ -508,15 +556,38 @@ class BaseEstimator:
                 def mcmc_loss(z, *args):
                     return loss_fn(z.reshape(latent_shape), *args)
 
+            opts = {
+                "num_warmup": max(self.n_iter, 200),
+                "num_samples": max(self.n_iter, 200),
+                "num_chains": 4,
+                "target_accept": 0.8,
+                "max_tree_depth": 10,
+                "initial_step_size": 0.1,
+            }
+            opts.update(
+                {
+                    k: v
+                    for k, v in self.sampler_options.items()
+                    if k in _NUTS_OPTION_KEYS
+                }
+            )
+            import time as _time
+
+            t0 = _time.perf_counter()
             result = run_mcmc(
                 mcmc_loss,
                 mcmc_z0,
                 _jax.random.PRNGKey(seed),
-                num_warmup=max(self.n_iter, 200),
-                num_samples=max(self.n_iter, 200),
-                num_chains=4,
+                num_warmup=int(opts["num_warmup"]),
+                num_samples=int(opts["num_samples"]),
+                num_chains=int(opts["num_chains"]),
+                target_accept=float(opts["target_accept"]),
+                max_tree_depth=int(opts["max_tree_depth"]),
+                initial_step_size=float(opts["initial_step_size"]),
                 potential_args=loss_args,
             )
+            result.samples.block_until_ready()
+            self.sampling_time = _time.perf_counter() - t0
             flat = result.samples.reshape((-1,) + result.samples.shape[2:])
             self.pre_transformation = flat.mean(axis=0).reshape(latent_shape)
             self.pre_transformation_std = flat.std(axis=0).reshape(latent_shape)
@@ -525,6 +596,25 @@ class BaseEstimator:
             )
             self.mcmc_result = result
             self.losses = _jnp.ravel(result.potential)
+            # the north-star throughput metric is effective samples per
+            # second (BASELINE.md), not raw draws/s — summarize it here so
+            # every estimator-level NUTS run reports it
+            from ..inference.diagnostics import effective_sample_size
+
+            import numpy as _np
+
+            ess = _np.asarray(effective_sample_size(result.samples))
+            self.ess = ess
+            self.ess_per_second = float(_np.min(ess) / self.sampling_time)
+            logger.info(
+                "NUTS: %d draws in %.2fs; ESS min/median %.0f/%.0f "
+                "(%.1f effective samples/s, min-ESS basis).",
+                int(opts["num_chains"]) * int(opts["num_samples"]),
+                self.sampling_time,
+                float(_np.min(ess)),
+                float(_np.median(ess)),
+                self.ess_per_second,
+            )
         elif optimizer == "smc":
             import jax as _jax
             import jax.numpy as _jnp
@@ -542,12 +632,25 @@ class BaseEstimator:
                 )
             dim = int(initial_value.shape[-1])
             loglik = loglik_from_loss(loss_fn)
+            smc_opts = {"num_particles": 1024}
+            smc_opts.update(
+                {
+                    k: v
+                    for k, v in self.sampler_options.items()
+                    if k in _SMC_OPTION_KEYS
+                }
+            )
+            smc_opts["num_particles"] = int(smc_opts["num_particles"])
+            for int_key in ("num_mutation_steps", "num_leapfrog_steps",
+                            "max_stages"):
+                if int_key in smc_opts:
+                    smc_opts[int_key] = int(smc_opts[int_key])
             result = run_smc(
                 loglik,
                 dim,
                 _jax.random.PRNGKey(seed),
-                num_particles=1024,
                 loglik_args=loss_args,
+                **smc_opts,
             )
             self.pre_transformation = result.particles.mean(axis=0)
             self.pre_transformation_std = result.particles.std(axis=0)

@@ -66,6 +66,7 @@ class DensityEstimator(BaseEstimator):
         check_rank=None,
         random_state=DEFAULT_RANDOM_SEED,
         precision=None,
+        sampler_options=None,
     ):
         super().__init__(
             cov_func_curry=cov_func_curry,
@@ -91,6 +92,7 @@ class DensityEstimator(BaseEstimator):
             jit=jit,
             check_rank=check_rank,
             random_state=random_state,
+            sampler_options=sampler_options,
         )
         if d is not None:
             self.d_method = "manual"

@@ -67,6 +67,7 @@ class DimensionalityEstimator(BaseEstimator):
         jit=DEFAULT_JIT,
         check_rank=None,
         random_state=DEFAULT_RANDOM_SEED,
+        sampler_options=None,
     ):
         super().__init__(
             cov_func_curry=cov_func_curry,
@@ -91,6 +92,7 @@ class DimensionalityEstimator(BaseEstimator):
             jit=jit,
             check_rank=check_rank,
             random_state=random_state,
+            sampler_options=sampler_options,
         )
         self.k = validate_positive_int(k, "k")
         self.mu_dim = validate_float(mu_dim, "mu_dim")

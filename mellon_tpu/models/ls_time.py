@@ -51,6 +51,41 @@ _BATCHABLE_KEYS = {
 }
 
 
+# host-f64 evaluations of the single-length-scale kernel cores the batched
+# path admits, for the rescue of f32-singular time groups: recomputing the
+# (small) per-group kernel from its already-host-resident coordinates avoids
+# fetching the padded (T, n_pad, n_pad) kernel stack from the device — the
+# transfer that made the all-groups rescue slower than the per-time loop
+def _host_radial(profile):
+    def core(x, ls):
+        sq = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        import numpy as np
+
+        return profile(np.sqrt(np.maximum(sq, 0.0)) / ls)
+
+    return core
+
+
+def _make_host_f64_cores():
+    import numpy as np
+
+    sqrt3, sqrt5 = np.sqrt(3.0), np.sqrt(5.0)
+    return {
+        "matern32": _host_radial(
+            lambda r: (1.0 + sqrt3 * r) * np.exp(-sqrt3 * r)
+        ),
+        "matern52": _host_radial(
+            lambda r: (1.0 + sqrt5 * r + 5.0 / 3.0 * r**2)
+            * np.exp(-sqrt5 * r)
+        ),
+        "expquad": _host_radial(lambda r: np.exp(-0.5 * r**2)),
+        "exponential": _host_radial(lambda r: np.exp(-0.5 * r)),
+    }
+
+
+_HOST_F64_CORES = _make_host_f64_cores()
+
+
 def _masked_quantile_01(values, mask, n_real):
     """1%-quantile (linear interpolation) of ``values`` where ``mask`` is
     set — equals ``jnp.quantile(values[mask], 0.01)`` with a static shape."""
@@ -165,6 +200,7 @@ def _batched_ls_time_densities(
             nn_slice[invalid] = nn_slice[~invalid].min()
         nng[i, :k] = nn_slice
         mask[i, :k] = 1.0
+    xg_host = xg  # host copy kept for the f64 rescue of singular groups
     xg, nng, mask = jnp.asarray(xg), jnp.asarray(nng), jnp.asarray(mask)
     n_t = jnp.asarray(sizes, dtype=xg.dtype)
 
@@ -250,20 +286,43 @@ def _batched_ls_time_densities(
         )
         from ..ops.linalg import host_cholesky_f64
 
-        L_host = np.array(L_stack)  # writable copy
         bad_idx = np.flatnonzero(bad)
-        # fetch only the still-singular groups' kernels
-        K_bad = np.asarray(
-            jax.device_get(K_stack[jnp.asarray(bad_idx)]), dtype=np.float64
+        host_core = (
+            _HOST_F64_CORES.get(spec[0])
+            if len(spec) == 3 and spec[1] is None
+            else None
         )
-        for j_g, g in enumerate(bad_idx):
-            try:
-                L_host[g] = host_cholesky_f64(K_bad[j_g], jitter=jitter).astype(
-                    L_host.dtype
+        if host_core is not None:
+            # rebuild each singular group's kernel on the host in f64 from
+            # its (small, host-resident) coordinates — no device fetch at
+            # all, and full f64 precision instead of f32-rounded values
+            ls_host = np.asarray(jax.device_get(ls_t), dtype=np.float64)
+            K_bad = np.empty((len(bad_idx), n_pad, n_pad), dtype=np.float64)
+            for j_g, g in enumerate(bad_idx):
+                k = int(sizes[g])
+                K_bad[j_g] = np.eye(n_pad)
+                K_bad[j_g, :k, :k] = host_core(
+                    xg_host[g, :k].astype(np.float64), ls_host[g]
                 )
+        else:
+            # unsupported kernel structure: fetch only the still-singular
+            # groups' (f32-rounded) kernel values
+            K_bad = np.asarray(
+                jax.device_get(K_stack[jnp.asarray(bad_idx)]),
+                dtype=np.float64,
+            )
+        fixed = np.empty_like(K_bad)
+        for j_g in range(len(bad_idx)):
+            try:
+                fixed[j_g] = host_cholesky_f64(K_bad[j_g], jitter=jitter)
             except np.linalg.LinAlgError:
                 return None  # genuinely unfactorizable: exact loop decides
-        L_stack = jnp.asarray(L_host)
+        # one upload of ONLY the rescued factors (the previous all-groups
+        # round trip — full L_stack down, full L_stack up — was the
+        # transfer bound that made the batched path slower than the loop)
+        L_stack = L_stack.at[jnp.asarray(bad_idx)].set(
+            jnp.asarray(fixed, dtype=L_stack.dtype)
+        )
 
     z0 = ridge(L_stack, mask, mle_g - mu_t[:, None])
 

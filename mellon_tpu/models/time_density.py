@@ -82,6 +82,7 @@ class TimeSensitiveDensityEstimator(BaseEstimator):
         jit=DEFAULT_JIT,
         check_rank=None,
         random_state=DEFAULT_RANDOM_SEED,
+        sampler_options=None,
     ):
         super().__init__(
             cov_func_curry=cov_func_curry,
@@ -106,6 +107,7 @@ class TimeSensitiveDensityEstimator(BaseEstimator):
             jit=jit,
             check_rank=check_rank,
             random_state=random_state,
+            sampler_options=sampler_options,
         )
         if not isinstance(density_estimator_kwargs, dict):
             raise ValueError("density_estimator_kwargs needs to be a dictionary.")

@@ -64,8 +64,23 @@ def main():
         est.fit(fit_nystroem.datasets.pop())
         fit_nystroem.est = est
 
-    fit_nystroem.datasets = [x2, x]
-    report("sparse_nystroem rank=0.999 fit (8,627 cells)", 18.6, timed(fit_nystroem))
+    # four distinct datasets: the data-dependent pruned-predictor rank is
+    # quantized to power-of-two buckets, so the first fit per BUCKET pays a
+    # one-time program load; the median of the last three is the honest
+    # steady-state number across datasets
+    fit_nystroem.datasets = [
+        make_data(jax.random.PRNGKey(k), n, d) for k in (5, 1, 2, 0)
+    ]
+    fit_nystroem()
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        fit_nystroem()
+        times.append(time.time() - t0)
+    times.sort()
+    report(
+        "sparse_nystroem rank=0.999 fit (8,627 cells)", 18.6, times[1]
+    )
 
     # --- fit from precomputed L (ref 10.4 s) -------------------------------
     base = mellon_tpu.DensityEstimator()

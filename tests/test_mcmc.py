@@ -370,3 +370,52 @@ def test_shard_predict_matches_single_device(density_fit_mesh=None):
     got_n = np.asarray(sharded(Xnew, normalize=True))
     want_n = np.asarray(pred(Xnew, normalize=True))
     np.testing.assert_allclose(got_n, want_n, atol=1e-5)
+
+
+def test_estimator_sampler_options():
+    """Constructor-level sampler configuration reaches the NUTS run and the
+    estimator reports the north-star ESS/s metric."""
+    from mellon_tpu import DensityEstimator
+
+    x = jax.random.normal(jax.random.PRNGKey(14), (40, 2))
+    est = DensityEstimator(
+        optimizer="nuts",
+        sampler_options={
+            "num_chains": 2,
+            "num_warmup": 150,
+            "num_samples": 120,
+            "target_accept": 0.9,
+        },
+    )
+    ld = est.fit_predict(x)
+    assert np.all(np.isfinite(np.asarray(ld)))
+    assert est.posterior_samples.shape[0] == 2
+    assert est.posterior_samples.shape[1] == 120
+    assert est.ess.shape == (est.posterior_samples.shape[-1],)
+    assert np.all(np.isfinite(est.ess))
+    assert est.ess_per_second > 0
+    assert est.sampling_time > 0
+
+
+def test_estimator_sampler_options_smc():
+    from mellon_tpu import DensityEstimator
+
+    x = jax.random.normal(jax.random.PRNGKey(15), (40, 2))
+    est = DensityEstimator(
+        optimizer="smc",
+        sampler_options={"num_particles": 256, "num_mutation_steps": 3},
+    )
+    ld = est.fit_predict(x)
+    assert np.all(np.isfinite(np.asarray(ld)))
+    assert est.posterior_samples.shape[0] == 256
+
+
+def test_estimator_sampler_options_validation():
+    from mellon_tpu import DensityEstimator
+
+    with pytest.raises(ValueError, match="Unknown sampler_options"):
+        DensityEstimator(sampler_options={"chains": 4})
+    with pytest.raises(ValueError, match="positive number"):
+        DensityEstimator(sampler_options={"num_chains": -1})
+    with pytest.raises(ValueError, match="must be a dict"):
+        DensityEstimator(sampler_options=[("num_chains", 4)])

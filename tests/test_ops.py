@@ -369,3 +369,92 @@ def test_factory_forwards_lp_to_landmarks_conditional():
     np.testing.assert_allclose(
         np.asarray(c_with._mean(x)), np.asarray(c_without._mean(x)), atol=1e-6
     )
+
+
+def _clustered(key, n, d):
+    """Clustered data with decaying per-dimension scale (realistic kernel
+    spectra; cf. bench.make_data)."""
+    k_c, k_a, k_n = jax.random.split(key, 3)
+    centers = jax.random.normal(k_c, (10, d)) * 2.0
+    assign = jax.random.randint(k_a, (n,), 0, 10)
+    pts = centers[assign] + 0.4 * jax.random.normal(k_n, (n, d))
+    return pts * jnp.exp(-0.15 * jnp.arange(d))[None, :]
+
+
+def test_modified_low_rank_randomized_matches_exact():
+    """Above the NYSTROEM_EXACT_MAX gate the improved Nyström switches to
+    the randomized sketch eigensolver; on realistic (fast-decaying) kernel
+    spectra its L L^T must match the exact double-eigh reference path."""
+    import mellon_tpu.ops.linalg as lg
+    from mellon_tpu.ops.kernels import Matern52
+
+    x = _clustered(jax.random.PRNGKey(17), 1200, 8)
+    xu = x[:600]
+    cov = Matern52(3.0)
+
+    assert xu.shape[0] > lg.NYSTROEM_EXACT_MAX
+    L_rand = lg._modified_low_rank(x, cov, xu, rank=0.99)
+
+    old = lg.NYSTROEM_EXACT_MAX
+    try:
+        lg.NYSTROEM_EXACT_MAX = 10**9  # force the exact reference path
+        L_exact = lg._modified_low_rank(x, cov, xu, rank=0.99)
+    finally:
+        lg.NYSTROEM_EXACT_MAX = old
+
+    # the two paths may disagree in the negligible tail the power-of-two
+    # rank quantization pads in; the contract is that both approximate the
+    # TRUE covariance equally well, and agree to the tail scale overall
+    K_true = np.asarray(cov(x, x))
+    Ke = np.asarray(L_exact @ L_exact.T)
+    Kr = np.asarray(L_rand @ L_rand.T)
+    err_exact = np.linalg.norm(K_true - Ke) / np.linalg.norm(K_true)
+    err_rand = np.linalg.norm(K_true - Kr) / np.linalg.norm(K_true)
+    assert err_rand < 1.05 * err_exact + 1e-6
+    assert np.linalg.norm(Ke - Kr) / np.linalg.norm(Ke) < 1e-3
+
+
+def test_modified_low_rank_randomized_near_flat_spectrum():
+    """On an adversarial near-flat spectrum (iid points in low dims) the
+    sketch truncates real mass; the result must still approximate the TRUE
+    covariance about as well as the exact rank-limited path does."""
+    import mellon_tpu.ops.linalg as lg
+    from mellon_tpu.ops.kernels import Matern52
+
+    key = jax.random.PRNGKey(17)
+    x = jax.random.normal(key, (1200, 4)) * 2
+    xu = x[:600]
+    cov = Matern52(3.0)
+    K_true = np.asarray(cov(x, x))
+
+    L_rand = lg._modified_low_rank(x, cov, xu, rank=0.99)
+    old = lg.NYSTROEM_EXACT_MAX
+    try:
+        lg.NYSTROEM_EXACT_MAX = 10**9
+        L_exact = lg._modified_low_rank(x, cov, xu, rank=0.99)
+    finally:
+        lg.NYSTROEM_EXACT_MAX = old
+
+    def rel_err(L):
+        Lh = np.asarray(L)
+        return np.linalg.norm(K_true - Lh @ Lh.T) / np.linalg.norm(K_true)
+
+    assert rel_err(L_rand) < 1.5 * rel_err(L_exact) + 1e-3
+
+
+def test_randomized_eigh_top_spectrum():
+    """randomized_eigh recovers the dominant eigenpairs of a PSD matrix."""
+    from mellon_tpu.ops.linalg import randomized_eigh
+
+    rng = np.random.RandomState(0)
+    Q, _ = np.linalg.qr(rng.randn(300, 300))
+    vals = np.sort(np.concatenate([np.geomspace(1e-6, 10.0, 290),
+                                   np.geomspace(20.0, 100.0, 10)]))
+    A = jnp.asarray((Q * vals) @ Q.T)
+    s, v = randomized_eigh(A, 16)
+    # the well-separated dominant pairs converge fast; the pairs at the
+    # sketch edge (s ~ the 10/20 gap) are only oversampling-accurate
+    np.testing.assert_allclose(np.asarray(s)[-5:], vals[-5:], rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(s)[-10:], vals[-10:], rtol=1e-4)
+    res = np.asarray(A @ v - v * s)
+    assert np.linalg.norm(res, axis=0)[-5:].max() < 1e-3 * vals[-1]

@@ -363,3 +363,61 @@ def test_batched_ls_time_rescue_ladder_matches_loop():
     finally:
         lt._batched_ls_time_densities = orig
     assert ls_batched == pytest.approx(ls_loop, rel=0.05)
+
+
+def test_batched_ls_time_host_rescue_f32():
+    """f32-singular per-time kernels must trigger the host-f64 rescue (which
+    rebuilds each singular group's kernel from host coordinates rather than
+    fetching the padded stack) and still produce finite densities and a
+    valid ls_time."""
+    import logging
+
+    import jax
+    import numpy as np
+
+    from mellon_tpu.models.ls_time import compute_ls_time
+    from mellon_tpu.ops.kernels import Matern52
+
+    x64_was = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        rng = np.random.RandomState(0)
+        groups = []
+        for t in range(3):
+            # tight clusters of near-duplicate points: with a wide kernel
+            # the per-group covariance is numerically singular in f32
+            centers = rng.randn(4, 2).astype(np.float32)
+            pts = np.repeat(centers, 10, axis=0)
+            pts += 1e-4 * rng.randn(*pts.shape).astype(np.float32)
+            times = np.full((40, 1), float(t), dtype=np.float32)
+            groups.append(np.hstack([pts, times]))
+        xt = jnp.asarray(np.vstack(groups))
+        nn = jnp.asarray(
+            np.abs(rng.rand(120)).astype(np.float32) * 0.01 + 1e-4
+        )
+
+        records = []
+
+        class Capture(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        handler = Capture()
+        logging.getLogger("mellon_tpu").addHandler(handler)
+        try:
+            # jitter far below f32 resolution: the on-device ladder (3
+            # escalations) cannot recover, deterministically forcing the
+            # host-f64 rescue (whose own ladder starts at 1e-12)
+            ls = compute_ls_time(
+                nn,
+                xt,
+                Matern52,
+                warn_below=2,
+                density_estimator_kwargs={"ls": 30.0, "jitter": 1e-30},
+            )
+        finally:
+            logging.getLogger("mellon_tpu").removeHandler(handler)
+        assert np.isfinite(ls) and ls > 0
+        assert any("factorizing those groups on the host" in m for m in records), records
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
