@@ -115,3 +115,47 @@ def test_own_version_does_not_trip_migration(fitted, caplog):
     np.testing.assert_allclose(
         np.asarray(restored(x[:5])), np.asarray(est.predict(x[:5])), atol=1e-12
     )
+
+
+# --- vendored fixtures actually written by the reference ------------------
+#
+# tests/fixtures/reference_*_predictor.json* were produced by running the
+# REAL reference package (/root/reference, mellon v1.7.1) in this
+# environment with its absent host deps (jaxopt, pynndescent) stubbed at
+# module level only — the exercised paths (FunctionEstimator fit;
+# DensityEstimator fit with optimizer="adam" and precomputed nn_distances)
+# never call into either.  reference_fixture_data.npz records the inputs
+# and the reference's own predictions, making the "loads reference JSON"
+# claim load-bearing rather than simulated.
+
+
+@pytest.fixture(scope="module")
+def reference_fixture_dir():
+    import pathlib
+
+    d = pathlib.Path(__file__).parent / "fixtures"
+    if not (d / "reference_fixture_data.npz").exists():
+        pytest.skip("reference fixtures not present")
+    return d
+
+
+def test_load_genuine_reference_function_predictor(reference_fixture_dir):
+    data = np.load(reference_fixture_dir / "reference_fixture_data.npz")
+    pred = Predictor.from_json(
+        str(reference_fixture_dir / "reference_function_predictor.json")
+    )
+    got = np.asarray(pred(jnp.asarray(data["x"])))
+    np.testing.assert_allclose(got, data["fe_pred"], atol=1e-5)
+
+
+def test_load_genuine_reference_density_predictor(reference_fixture_dir):
+    data = np.load(reference_fixture_dir / "reference_fixture_data.npz")
+    pred = Predictor.from_json(
+        str(reference_fixture_dir / "reference_density_predictor.json.gz"),
+        compress="gzip",
+    )
+    x = jnp.asarray(data["x"])
+    np.testing.assert_allclose(np.asarray(pred(x)), data["de_pred"], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pred(x, normalize=True)), data["de_pred_norm"], atol=1e-5
+    )
