@@ -466,7 +466,20 @@ def _hat_diagonal(B, K_uu, sigma, jitter, per_feature=False):
         h64 = _host_per_obs(s64.ravel())
     else:
         h64 = _host_scalar(s64)
-    # upper bound strictly below 1: the HC3 correction divides by (1-h)²
+    # Genuine h -> 1 (zero-noise interpolation) is a statistical degeneracy:
+    # the HC3 correction divides by (1-h)^2, so clipping would silently
+    # manufacture a finite correction where none exists.  Surface it loudly
+    # before bounding the numerical overshoot strictly below 1.
+    n_degenerate = int(np.sum(h64 >= 1.0 - 1e-6))
+    if n_degenerate:
+        logger.warning(
+            "%d observation(s) have leverage ~1 even in float64 "
+            "(zero-noise interpolation): the HC3 observation-variance "
+            "correction is undefined there and will be reported at its "
+            "clipped ceiling. Increase sigma (observation noise) or reduce "
+            "landmark density to resolve the degeneracy.",
+            n_degenerate,
+        )
     return jnp.asarray(np.clip(h64, 0.0, 1.0 - 1e-6), dtype=h.dtype)
 
 

@@ -82,6 +82,22 @@ def main(n=1_000_000, d=50, m=5_000):
         f"(log-density corr vs f32 fit: {corr:.5f})"
     )
 
+    # subscale accuracy certificate (50k x 50): the full 1M host-f64
+    # reference fit is out of this container's budget, so the certificate
+    # pins the SAME pruned-factorization numerics at 50k against a host-f64
+    # full-landmark fit (scripts/accuracy_cert.py --write-named)
+    from accuracy_cert import compare_named, named_x
+
+    named = named_x("atlas_sub_50000x50")
+    if named is not None:
+        xc, _ = named
+        estc = mellon_tpu.DensityEstimator(n_landmarks=5000)
+        ldc = estc.fit_predict(jnp.asarray(xc))
+        log(
+            "50k-subscale accuracy vs host-f64: "
+            f"{compare_named('atlas_sub_50000x50', ldc)}"
+        )
+
 
 if __name__ == "__main__":
     args = [int(a) for a in sys.argv[1:]]

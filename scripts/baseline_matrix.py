@@ -82,6 +82,19 @@ def main():
         "sparse_nystroem rank=0.999 fit (8,627 cells)", 18.6, times[1]
     )
 
+    # accuracy certificate for this row: f32 fit on the stored data vs the
+    # host-f64 reference fit (scripts/accuracy_cert.py --write-named)
+    from accuracy_cert import compare_named, named_x
+
+    named = named_x("nystroem_8627x20")
+    if named is not None:
+        xc, _ = named
+        estc = mellon_tpu.DensityEstimator(
+            gp_type="sparse_nystroem", rank=0.999, n_landmarks=2000
+        )
+        cert = compare_named("nystroem_8627x20", estc.fit_predict(jnp.asarray(xc)))
+        log(f"  nystroem accuracy vs host-f64: {cert}")
+
     # --- fit from precomputed L (ref 10.4 s) -------------------------------
     base = mellon_tpu.DensityEstimator()
     base.fit(x)

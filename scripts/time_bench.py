@@ -76,6 +76,19 @@ def main(n=98_192, d=2, n_times=8):
         f"(ref 8.68 s)"
     )
 
+    # accuracy certificate: f32 fit on the stored data vs host-f64
+    # reference (scripts/accuracy_cert.py --write-named)
+    from accuracy_cert import compare_named, named_x
+
+    named = named_x("time_98192x2")
+    if named is not None and (n, d) == (98_192, 2):
+        import mellon_tpu
+
+        xc, tc = named
+        estc = mellon_tpu.TimeSensitiveDensityEstimator(ls_time=0.375)
+        ldc = estc.fit_predict(jnp.asarray(xc), jnp.asarray(tc))
+        log(f"accuracy vs host-f64: {compare_named('time_98192x2', ldc)}")
+
 
 if __name__ == "__main__":
     main(*[int(a) for a in sys.argv[1:]])

@@ -11,8 +11,16 @@ too late, and ``--xla_force_host_platform_device_count`` stalls the tunnel's
 backend init for minutes.  ``jax.config.update`` after import wins cleanly.
 """
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("MELLON_TPU_TESTS"):
+    # TPU accuracy-contract mode (``-m tpu``): keep the real backend and
+    # its f32 numerics — forcing CPU here would make the approx_min_k
+    # recall contract untestable (it lowers exactly on CPU).
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_enable_x64", True)
