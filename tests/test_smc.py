@@ -130,6 +130,50 @@ def test_smc_sharded_matches_single_device_moments():
     )
 
 
+def test_smc_stage_lowers_to_collectives():
+    """The compiled sharded tempering stage must contain collective ops —
+    the docstring's claim ("the ESS reduction and resampling gather become
+    collectives", mellon_tpu/inference/smc.py) verified at the HLO level,
+    like the mcmc all-reduce test (SURVEY.md §5.8)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mellon_tpu.inference.smc import _smc_stage
+    from mellon_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
+    mesh = create_mesh(n_chains=8, n_cells=1)
+    sharding = NamedSharding(mesh, P("chains", None))
+
+    num_particles, dim = 64, 2
+    particles = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(0), (num_particles, dim)),
+        sharding,
+    )
+
+    def loglik(z):
+        return -0.5 * jnp.sum(z**2)
+
+    def prior_logpdf(z):
+        return -0.5 * jnp.sum(z**2)
+
+    lowered = _smc_stage.lower(
+        loglik,
+        prior_logpdf,
+        particles,
+        jax.random.PRNGKey(1),
+        jnp.asarray(0.0),
+        jnp.asarray(0.3),
+        jnp.asarray(num_particles / 2.0),
+        2,
+        3,
+    )
+    hlo = lowered.compile().as_text()
+    assert any(
+        op in hlo for op in ("all-reduce", "all-gather", "all-to-all")
+    ), "sharded SMC stage compiled without any collective op"
+
+
 def test_smc_combined_particle_and_cell_sharding():
     """Particles on the chains axis combined with cell-sharded likelihood
     operands: the density-model layout of SURVEY.md §5.8 end to end."""
