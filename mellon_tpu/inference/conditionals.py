@@ -17,6 +17,7 @@ via vmapped per-column solves.  All solves are XLA Cholesky/TRSM on device.
 """
 
 import logging
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,30 @@ def _hp(a, b):
     matvec stays accurate, which masked this until multi-output fits).
     These products are small (n_new x m x p), so the cost is negligible."""
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _fused_mean_spec(spec, params, Xnew, base, weights, mu):
+    from ..ops.kernels import eval_operand_spec
+
+    Kus = eval_operand_spec(spec, params, Xnew, base)
+    return mu + jnp.matmul(Kus, weights, precision=jax.lax.Precision.HIGHEST)
+
+
+def _conditional_mean(cov_func, Xnew, base, weights, mu):
+    """Conditional mean ``mu + K(Xnew, base) @ weights`` as ONE fused
+    program, spec-keyed like the factorization path (the kernel structure
+    is the static key, its length scales are runtime operands): the
+    distance -> kernel elementwise chain fuses into the matmul instead of
+    materializing each (n_new, m) intermediate in HBM, and a serving
+    process pays one program load per query shape instead of one dispatch
+    per op.  Kernels without an operand spec (user-defined) evaluate
+    eagerly as before."""
+    try:
+        spec, params = cov_func.operand_spec()
+    except (NotImplementedError, AttributeError):
+        return mu + _hp(cov_func(Xnew, base), weights)
+    return _fused_mean_spec(spec, tuple(params), Xnew, base, weights, mu)
 
 
 # ---------------------------------------------------------------------------
@@ -650,8 +675,9 @@ class _FullConditional:
         self._state_variables.add("variance_mu")
 
     def _mean(self, Xnew):
-        Kus = self.cov_func(Xnew, self.x)
-        return self.mu + _hp(Kus, self.weights)
+        return _conditional_mean(
+            self.cov_func, Xnew, self.x, self.weights, self.mu
+        )
 
     def _leverage(self, Xnew, sigma):
         """h = 1 - sigma² diag((K + sigma² I)⁻¹) at the training geometry
@@ -1016,8 +1042,9 @@ class _LandmarksConditional:
         self._state_variables.add("variance_mu")
 
     def _mean(self, Xnew):
-        Kus = self.cov_func(Xnew, self.landmarks)
-        return self.mu + _hp(Kus, self.weights)
+        return _conditional_mean(
+            self.cov_func, Xnew, self.landmarks, self.weights, self.mu
+        )
 
     def _leverage(self, Xnew, sigma):
         """Sparse-GP hat diagonal via the m x m system M = sigma² K_uu + BᵀB
@@ -1203,8 +1230,9 @@ class _LandmarksConditionalCholesky:
         self._state_variables.add("variance_mu")
 
     def _mean(self, Xnew):
-        Kus = self.cov_func(Xnew, self.landmarks)
-        return self.mu + _hp(Kus, self.weights)
+        return _conditional_mean(
+            self.cov_func, Xnew, self.landmarks, self.weights, self.mu
+        )
 
     def _leverage(self, Xnew, sigma):
         xu = self.landmarks
