@@ -64,6 +64,84 @@ def _conditional_mean(cov_func, Xnew, base, weights, mu):
     return _fused_mean_spec(spec, tuple(params), Xnew, base, weights, mu)
 
 
+@partial(jax.jit, static_argnames=("spec",))
+def _fused_cov_diag_spec(spec, params, Xnew, base, L, kss):
+    from ..ops.kernels import eval_operand_spec
+
+    Kus = eval_operand_spec(spec, params, base, Xnew)
+    A = solve_triangular(L, Kus, lower=True)
+    return kss - jnp.sum(jnp.square(A), axis=0)
+
+
+def _conditional_cov_diag(cov_func, Xnew, base, L, extra=0.0):
+    """Posterior diag covariance ``k(x,x) - colsum(sq(trsm(L, K)))`` as one
+    fused spec-keyed program (serving path; same design as
+    :func:`_conditional_mean`).  ``extra`` is added to the result (the
+    sparse correction term some conditionals carry).  Falls back to eager
+    evaluation for kernels without an operand spec."""
+    kss = cov_func.diag(Xnew)
+    try:
+        spec, params = cov_func.operand_spec()
+    except (NotImplementedError, AttributeError):
+        A = solve_triangular(L, cov_func(base, Xnew), lower=True)
+        return kss - jnp.sum(jnp.square(A), axis=0) + extra
+    return (
+        _fused_cov_diag_spec(spec, tuple(params), Xnew, base, L, kss) + extra
+    )
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _fused_cov_diag2_spec(spec, params, Xnew, base, L, Cs, kss):
+    from ..ops.kernels import eval_operand_spec
+
+    Kus = eval_operand_spec(spec, params, base, Xnew)
+    A = solve_triangular(L, Kus, lower=True)
+    C = solve_triangular(Cs, Kus, lower=True)
+    return (
+        kss
+        - jnp.sum(jnp.square(A), axis=0)
+        + jnp.sum(jnp.square(C), axis=0)
+    )
+
+
+def _conditional_cov_diag2(cov_func, Xnew, base, L, Cs):
+    """Nyström-residual diag + sparse correction (two TRSMs against the
+    same cross-kernel) as one fused spec-keyed program."""
+    kss = cov_func.diag(Xnew)
+    try:
+        spec, params = cov_func.operand_spec()
+    except (NotImplementedError, AttributeError):
+        Kus = cov_func(base, Xnew)
+        A = solve_triangular(L, Kus, lower=True)
+        C = solve_triangular(Cs, Kus, lower=True)
+        return (
+            kss
+            - jnp.sum(jnp.square(A), axis=0)
+            + jnp.sum(jnp.square(C), axis=0)
+        )
+    return _fused_cov_diag2_spec(spec, tuple(params), Xnew, base, L, Cs, kss)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _fused_mean_cov_diag_spec(spec, params, Xnew, base, W):
+    from ..ops.kernels import eval_operand_spec
+
+    Kus = eval_operand_spec(spec, params, Xnew, base)
+    cov_L = jnp.matmul(Kus, W, precision=jax.lax.Precision.HIGHEST)
+    return jnp.sum(cov_L * cov_L, axis=1)
+
+
+def _conditional_mean_cov_diag(cov_func, Xnew, base, W):
+    """Parameter-uncertainty diag variance ``rowsum(sq(K @ W))`` as one
+    fused spec-keyed program, eager fallback without an operand spec."""
+    try:
+        spec, params = cov_func.operand_spec()
+    except (NotImplementedError, AttributeError):
+        cov_L = _hp(cov_func(Xnew, base), W)
+        return jnp.sum(cov_L * cov_L, axis=1)
+    return _fused_mean_cov_diag_spec(spec, tuple(params), Xnew, base, W)
+
+
 # ---------------------------------------------------------------------------
 # sigma-shape disambiguation helpers
 # ---------------------------------------------------------------------------
@@ -727,25 +805,27 @@ class _FullConditional:
 
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)
-        Kus = self.cov_func(Xnew, self.x)
-        return self.variance_mu + _hp(Kus, self.variance_weights)
+        return _conditional_mean(
+            self.cov_func, Xnew, self.x, self.variance_weights,
+            self.variance_mu,
+        )
 
     def _covariance(self, Xnew, diag=True):
         _check_covariance(self)
+        if diag:
+            return _conditional_cov_diag(self.cov_func, Xnew, self.x, self.L)
         Kus = self.cov_func(self.x, Xnew)
         A = solve_triangular(self.L, Kus, lower=True)
-        if diag:
-            Kss = self.cov_func.diag(Xnew)
-            return Kss - jnp.sum(jnp.square(A), axis=0)
         Kss = self.cov_func(Xnew, Xnew)
         return Kss - _hp(A.T, A)
 
     def _mean_covariance(self, Xnew, diag=True):
         _check_uncertainty(self)
-        Kus = self.cov_func(Xnew, self.x)
-        cov_L = _hp(Kus, self.W)
         if diag:
-            return jnp.sum(cov_L * cov_L, axis=1)
+            return _conditional_mean_cov_diag(
+                self.cov_func, Xnew, self.x, self.W
+            )
+        cov_L = _hp(self.cov_func(Xnew, self.x), self.W)
         return _hp(cov_L, cov_L.T)
 
 
@@ -1064,8 +1144,13 @@ class _LandmarksConditional:
 
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)
-        Kus = self.cov_func(Xnew, self.landmarks)
-        return self.variance_mu + _hp(Kus, self.variance_weights)
+        return _conditional_mean(
+            self.cov_func,
+            Xnew,
+            self.landmarks,
+            self.variance_weights,
+            self.variance_mu,
+        )
 
     def _covariance(self, Xnew, diag=False):
         """Nyström residual + sparse correction CᵀC
@@ -1075,29 +1160,28 @@ class _LandmarksConditional:
         xu = self.landmarks
         L = self.L
 
-        Kus = cov_func(xu, Xnew)
-        As = solve_triangular(L, Kus, lower=True)
-
         if self.per_feature_sigma:
             if diag:
-                return cov_func.diag(Xnew) - jnp.sum(jnp.square(As), axis=0)
+                return _conditional_cov_diag(cov_func, Xnew, xu, L)
+            Kus = cov_func(xu, Xnew)
+            As = solve_triangular(L, Kus, lower=True)
             return cov_func(Xnew, Xnew) - _hp(As.T, As)
 
         Cs = self.Cs
-        C = solve_triangular(Cs, Kus, lower=True)
         if diag:
-            Kss = cov_func.diag(Xnew)
-            return Kss - jnp.sum(jnp.square(As), axis=0) + jnp.sum(
-                jnp.square(C), axis=0
-            )
+            return _conditional_cov_diag2(cov_func, Xnew, xu, L, Cs)
+        Kus = cov_func(xu, Xnew)
+        As = solve_triangular(L, Kus, lower=True)
+        C = solve_triangular(Cs, Kus, lower=True)
         return cov_func(Xnew, Xnew) - _hp(As.T, As) + _hp(C.T, C)
 
     def _mean_covariance(self, Xnew, diag=True):
         _check_uncertainty(self)
-        Kus = self.cov_func(Xnew, self.landmarks)
-        cov_L = _hp(Kus, self.W)
         if diag:
-            return jnp.sum(cov_L * cov_L, axis=1)
+            return _conditional_mean_cov_diag(
+                self.cov_func, Xnew, self.landmarks, self.W
+            )
+        cov_L = _hp(self.cov_func(Xnew, self.landmarks), self.W)
         return _hp(cov_L, cov_L.T)
 
 
@@ -1249,24 +1333,31 @@ class _LandmarksConditionalCholesky:
 
     def _obs_variance(self, Xnew):
         _check_obs_variance(self)
-        Kus = self.cov_func(Xnew, self.landmarks)
-        return self.variance_mu + _hp(Kus, self.variance_weights)
+        return _conditional_mean(
+            self.cov_func,
+            Xnew,
+            self.landmarks,
+            self.variance_weights,
+            self.variance_mu,
+        )
 
     def _covariance(self, Xnew, diag=True):
         _check_covariance(self)
+        if diag:
+            return _conditional_cov_diag(
+                self.cov_func, Xnew, self.landmarks, self.L
+            )
         K = self.cov_func(self.landmarks, Xnew)
         A = solve_triangular(self.L, K, lower=True)
-        if diag:
-            Kss = self.cov_func.diag(Xnew)
-            return Kss - jnp.sum(jnp.square(A), axis=0)
         return self.cov_func(Xnew, Xnew) - _hp(A.T, A)
 
     def _mean_covariance(self, Xnew, diag=True):
         _check_uncertainty(self)
-        Kus = self.cov_func(Xnew, self.landmarks)
-        cov_L = _hp(Kus, self.W)
         if diag:
-            return jnp.sum(cov_L * cov_L, axis=1)
+            return _conditional_mean_cov_diag(
+                self.cov_func, Xnew, self.landmarks, self.W
+            )
+        cov_L = _hp(self.cov_func(Xnew, self.landmarks), self.W)
         return _hp(cov_L, cov_L.T)
 
 
