@@ -123,15 +123,36 @@ def main():
     print(json.dumps(result))
 
 
+def _emit_error_line(message):
+    print(json.dumps({
+        "metric": "density_fit_predict_8627_cells_warm_seconds",
+        "value": None,
+        "unit": "s",
+        "vs_baseline": None,
+        "error": message,
+    }), flush=True)
+
+
 if __name__ == "__main__":
+    # Watchdog: the TPU relay occasionally wedges mid-program-load; without
+    # this the bench would hang forever instead of reporting. 45 min is
+    # several times the worst observed cold run.
+    import signal
+
+    def _watchdog(signum, frame):
+        _emit_error_line("watchdog: exceeded 45 min (TPU relay stalled?)")
+        import os
+
+        os._exit(2)
+
+    try:
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(2700)
+    except (ValueError, AttributeError, OSError):
+        pass  # non-main thread or platform without SIGALRM
+
     try:
         main()
     except Exception as e:  # keep the contract: always emit one JSON line
-        print(json.dumps({
-            "metric": "density_fit_predict_8627_cells_warm_seconds",
-            "value": None,
-            "unit": "s",
-            "vs_baseline": None,
-            "error": f"{type(e).__name__}: {e}",
-        }))
+        _emit_error_line(f"{type(e).__name__}: {e}")
         sys.exit(1)
