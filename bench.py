@@ -156,3 +156,10 @@ if __name__ == "__main__":
     except Exception as e:  # keep the contract: always emit one JSON line
         _emit_error_line(f"{type(e).__name__}: {e}")
         sys.exit(1)
+    finally:
+        # disarm: a post-success teardown stall must not emit a SECOND
+        # JSON line after the result has already been printed
+        try:
+            signal.alarm(0)
+        except (ValueError, AttributeError, OSError):
+            pass

@@ -73,21 +73,19 @@ def _fused_cov_diag_spec(spec, params, Xnew, base, L, kss):
     return kss - jnp.sum(jnp.square(A), axis=0)
 
 
-def _conditional_cov_diag(cov_func, Xnew, base, L, extra=0.0):
+def _conditional_cov_diag(cov_func, Xnew, base, L):
     """Posterior diag covariance ``k(x,x) - colsum(sq(trsm(L, K)))`` as one
     fused spec-keyed program (serving path; same design as
-    :func:`_conditional_mean`).  ``extra`` is added to the result (the
-    sparse correction term some conditionals carry).  Falls back to eager
-    evaluation for kernels without an operand spec."""
+    :func:`_conditional_mean`).  Conditionals that carry a sparse
+    correction term use :func:`_conditional_cov_diag2` instead.  Falls
+    back to eager evaluation for kernels without an operand spec."""
     kss = cov_func.diag(Xnew)
     try:
         spec, params = cov_func.operand_spec()
     except (NotImplementedError, AttributeError):
         A = solve_triangular(L, cov_func(base, Xnew), lower=True)
-        return kss - jnp.sum(jnp.square(A), axis=0) + extra
-    return (
-        _fused_cov_diag_spec(spec, tuple(params), Xnew, base, L, kss) + extra
-    )
+        return kss - jnp.sum(jnp.square(A), axis=0)
+    return _fused_cov_diag_spec(spec, tuple(params), Xnew, base, L, kss)
 
 
 @partial(jax.jit, static_argnames=("spec",))

@@ -87,6 +87,14 @@ def _next_beta(log_lik, beta, target_ess):
 
     zero = jnp.zeros_like(hi0)
     lo, _ = jax.lax.fori_loop(0, 30, body, (zero, hi0))
+    # guarantee progress in the accumulation dtype: on sharply peaked
+    # likelihoods the admissible increment can fall below one ulp of beta
+    # (f32 eps ~1.2e-7), and `beta + lo` would return beta exactly —
+    # stalling the sweep at a fixed temperature for all remaining stages.
+    # Forcing at least an eps-sized step trades a bounded one-ulp ESS
+    # undershoot for guaranteed termination.
+    min_step = jnp.asarray(jnp.finfo(hi0.dtype).eps, hi0.dtype)
+    lo = jnp.minimum(jnp.maximum(lo, min_step), hi0)
     return jnp.where(full_ok, jnp.ones_like(hi0), beta + lo)
 
 

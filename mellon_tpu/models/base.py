@@ -77,6 +77,18 @@ _SMC_OPTION_KEYS = {
     "max_stages",
 }
 _SAMPLER_OPTION_KEYS = _NUTS_OPTION_KEYS | _SMC_OPTION_KEYS
+# count-valued options: the sampler paths int()-cast these, so accepting
+# 0.5 here would silently become 0 chains/particles downstream
+_INT_SAMPLER_OPTION_KEYS = {
+    "num_chains",
+    "num_warmup",
+    "num_samples",
+    "max_tree_depth",
+    "num_particles",
+    "num_mutation_steps",
+    "num_leapfrog_steps",
+    "max_stages",
+}
 
 logger = logging.getLogger("mellon_tpu")
 
@@ -98,9 +110,18 @@ def _validate_sampler_options(options):
             f"SMC accepts {sorted(_SMC_OPTION_KEYS)}."
         )
     for name, value in options.items():
-        if not isinstance(value, (int, float)) or value <= 0:
+        if (
+            isinstance(value, bool)
+            or not isinstance(value, (int, float))
+            or value <= 0
+        ):
             raise ValueError(
                 f"sampler_options[{name!r}] must be a positive number, "
+                f"got {value!r}."
+            )
+        if name in _INT_SAMPLER_OPTION_KEYS and value != int(value):
+            raise ValueError(
+                f"sampler_options[{name!r}] must be a positive integer, "
                 f"got {value!r}."
             )
     return dict(options)

@@ -107,7 +107,7 @@ def safe_cholesky(K, jitter=DEFAULT_JITTER, max_tries=0):
     return L
 
 
-def _eigendecomposition(A, rank=DEFAULT_RANK):
+def _eigendecomposition(A, rank=DEFAULT_RANK, with_raw_rank=False):
     """Top-eigenpair selection keeping a given count or eigenvalue-mass
     fraction (parity: ``mellon/decomposition.py:23-76``).
 
@@ -148,6 +148,7 @@ def _eigendecomposition(A, rank=DEFAULT_RANK):
         logger.error(message)
         raise ValueError(message)
     summed = jnp.cumsum(s[: -p - 1 : -1])
+    raw_p = p  # mass-selected rank BEFORE power-of-two quantization
     if isinstance(rank, float):
         target = summed[-1] * rank
         p = int(jnp.searchsorted(summed, target))
@@ -157,6 +158,7 @@ def _eigendecomposition(A, rank=DEFAULT_RANK):
                 "Bumping rank to 1."
             )
             p = 1
+        raw_p = p
         if A.shape[0] > 256:
             # exact reference semantics below this size — the compile cost
             # of a fresh shape is negligible there and the test contracts
@@ -175,10 +177,13 @@ def _eigendecomposition(A, rank=DEFAULT_RANK):
                 p = p_stable
     else:
         p = min(rank, p)
+        raw_p = p
     if (isinstance(rank, float) and rank < 1) or rank < len(summed):
         p_report = min(p, len(summed) - 1)
         frac = summed[p_report] / summed[-1]
         logger.info(f"Recovering {float(frac):%} variance in eigendecomposition.")
+    if with_raw_rank:
+        return s[-p:], v[:, -p:], raw_p
     return s[-p:], v[:, -p:]
 
 
@@ -197,15 +202,21 @@ def randomized_eigh(A, rank, n_iter=2, seed=0):
     """
     m = A.shape[0]
     p = min(m, rank + 16)
+    # every product at HIGHEST: the default bf16-pass TPU matmul puts
+    # ~1e-3 relative noise into the projected matrix B, and the tail of
+    # its spectrum (used by the Nyström mass selection, then amplified by
+    # rsqrt) is smaller than that noise — measured as log-density corr
+    # 0.906 vs f64 at the 2,000-landmark bench shape before the pin
+    hp = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     omega = jax.random.normal(jax.random.PRNGKey(seed), (m, p), dtype=A.dtype)
-    Q, _ = jnp.linalg.qr(A @ omega)
+    Q, _ = jnp.linalg.qr(hp(A, omega))
     for _ in range(n_iter):
-        Q, _ = jnp.linalg.qr(A @ Q)
-    B = Q.T @ (A @ Q)
+        Q, _ = jnp.linalg.qr(hp(A, Q))
+    B = hp(Q.T, hp(A, Q))
     B = 0.5 * (B + B.T)
     s, U = jnp.linalg.eigh(B)
     keep = min(rank, p)
-    return s[-keep:], Q @ U[:, -keep:]
+    return s[-keep:], hp(Q, U[:, -keep:])
 
 
 def _full_rank(x, cov_func, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER):
@@ -345,15 +356,27 @@ def _modified_low_rank(
         # floor: keep 1/sqrt(s) from amplifying sketch-noise eigenvalues
         inv_sqrt_s = jax.lax.rsqrt(jnp.maximum(s, floor_tol * s[-1]))
         vs = v * inv_sqrt_s
-        S, U = _eigendecomposition(vs.T @ (gram_C @ vs), rank=rank)
+        # projections at HIGHEST to match gram_C — mixing default
+        # (bf16-pass) products into the carefully-accumulated gram would
+        # dominate the factor's error budget
+        proj = jnp.matmul(
+            vs.T,
+            jnp.matmul(gram_C, vs, precision=jax.lax.Precision.HIGHEST),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # saturation is judged on the PRE-quantization mass rank: the
+        # power-of-two bucket rounds mid-range ranks up to the sketch
+        # width itself, which would spuriously double the sketch (and on
+        # the relay, recompile every sketch-shaped program)
+        S, U, raw_p = _eigendecomposition(proj, rank=rank, with_raw_rank=True)
         p = S.shape[0]
-        if p < (3 * sketch) // 4 or sketch >= m:
+        if raw_p < (3 * sketch) // 4 or sketch >= m:
             break
         logger.info(
             "Nyström mass selection saturated the %d-column sketch "
             "(selected %d); doubling the sketch.",
             sketch,
-            p,
+            raw_p,
         )
         sketch = min(2 * sketch, m)
     logger.info(
@@ -363,7 +386,9 @@ def _modified_low_rank(
         sketch,
         m,
     )
-    return C @ (vs @ U)
+    return jnp.matmul(
+        C, vs @ U, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 @partial(jax.jit, static_argnames=("max_rank",))

@@ -9,7 +9,9 @@ mkdir -p /tmp/benchlogs
 run() {
   name="$1"; shift
   echo "=== $name: $* (started $(date +%H:%M:%S)) ==="
-  timeout 2400 "$@" > "/tmp/benchlogs/$name.log" 2>&1
+  # 3000 s: must exceed bench.py's own 2700 s watchdog so a stalled relay
+  # still produces the JSON error line instead of a silent SIGTERM
+  timeout 3000 "$@" > "/tmp/benchlogs/$name.log" 2>&1
   echo "=== $name: exit $? ($(date +%H:%M:%S)) ==="
 }
 

@@ -1,0 +1,73 @@
+"""SMC evidence-estimation benchmark on the density model.
+
+SMC is a new capability (the reference has no sampler,
+``mellon/inference.py`` stops at MAP/ADVI), so there is no reference row
+to beat — this bench pins the absolute throughput of the tempered sweep
+on one chip: adaptive stages from N(0, I) to the posterior with HMC
+mutations, reporting wall time, the stage count the adaptive tempering
+chose, the log-evidence estimate, and mutation-gradient throughput
+(the same (n, m) x (m, particles) shared-matmul economics as the NUTS
+chain scaling in PERFORMANCE.md).
+
+Usage: python scripts/smc_bench.py [n] [m] [num_particles]
+"""
+
+import sys
+import time
+
+from _common import jax, log  # noqa: F401  (repo path + compile cache)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(n=100_000, m=512, num_particles=1024):
+    from mellon_tpu.inference.losses import density_loss
+    from mellon_tpu.inference.smc import loglik_from_loss, run_smc
+
+    log(f"devices: {jax.devices()}  n={n:,} m={m} particles={num_particles}")
+    key = jax.random.PRNGKey(0)
+    L = jax.random.normal(key, (n, m), dtype=jnp.float32) / jnp.sqrt(m)
+    nn = 0.05 + 0.3 * jax.random.uniform(
+        jax.random.fold_in(key, 1), (n,), dtype=jnp.float32
+    )
+    d, mu = 20.0, -10.0
+    loglik = loglik_from_loss(density_loss)
+
+    def sweep(seed):
+        t0 = time.time()
+        res = run_smc(
+            loglik,
+            m,
+            jax.random.PRNGKey(seed),
+            num_particles=num_particles,
+            num_mutation_steps=5,
+            num_leapfrog_steps=8,
+            loglik_args=(L, nn, d, mu),
+        )
+        jax.device_get(res.log_evidence)
+        return time.time() - t0, res
+
+    t_cold, res = sweep(1)
+    log(f"cold sweep: {t_cold:.1f}s ({len(res.betas)} stages)")
+    t_warm, res = sweep(2)
+
+    stages = len(res.betas)
+    # per stage: num_mutation_steps HMC mutations x num_leapfrog_steps
+    # leapfrogs, each evaluating the loglik gradient for every particle
+    grads = stages * 5 * 8 * num_particles
+    ess = float(np.asarray(res.ess_history)[-1])
+    accept = float(np.mean(np.asarray(res.acceptance_history)))
+    log(
+        f"warm sweep: {t_warm:.1f}s  stages={stages}  "
+        f"log_evidence={float(res.log_evidence):.1f}  "
+        f"final ESS={ess:.0f}/{num_particles}  accept={accept:.2f}"
+    )
+    log(
+        f"mutation-gradient throughput: {grads / t_warm:,.0f} "
+        f"particle-leapfrogs/s"
+    )
+
+
+if __name__ == "__main__":
+    main(*[int(a) for a in sys.argv[1:]])

@@ -22,6 +22,7 @@ from mellon_tpu.inference.conditionals import (
     _conditional_mean_cov_diag,
 )
 from mellon_tpu.ops.kernels import (
+    Covariance,
     ExpQuad,
     Exponential,
     Linear,
@@ -30,6 +31,20 @@ from mellon_tpu.ops.kernels import (
     RatQuad,
 )
 
+class _SpecLessRBF(Covariance):
+    """User-defined kernel WITHOUT an operand spec: exercises the eager
+    fallback branch of every fused serving helper (operand_spec raises
+    NotImplementedError, exactly like a downstream subclass would)."""
+
+    def __init__(self, ls=1.0):
+        super().__init__()
+        self.ls = ls
+
+    def k(self, x, y):
+        sq = jnp.sum((x[..., None, :] - y[..., None, :, :]) ** 2, axis=-1)
+        return jnp.exp(-0.5 * sq / self.ls**2)
+
+
 KERNELS = [
     Matern32(1.3),
     Matern52(0.8),
@@ -37,8 +52,9 @@ KERNELS = [
     Exponential(1.1),
     RatQuad(1.9),
     Linear(1.5),
-    Matern52(1.2) * Matern32(0.7),   # composite: eager fallback
-    Matern52(1.2) + Linear(2.0),     # composite: eager fallback
+    Matern52(1.2) * Matern32(0.7),   # composite (Mul spec)
+    Matern52(1.2) + Linear(2.0),     # composite (Add spec)
+    _SpecLessRBF(1.4),               # no spec: eager fallback branch
 ]
 
 

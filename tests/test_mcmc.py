@@ -419,3 +419,14 @@ def test_estimator_sampler_options_validation():
         DensityEstimator(sampler_options={"num_chains": -1})
     with pytest.raises(ValueError, match="must be a dict"):
         DensityEstimator(sampler_options=[("num_chains", 4)])
+    # count-valued options must be whole numbers: the sampler paths
+    # int()-cast, so 0.5 would silently become 0 chains/particles
+    with pytest.raises(ValueError, match="positive integer"):
+        DensityEstimator(sampler_options={"num_chains": 0.5})
+    with pytest.raises(ValueError, match="positive integer"):
+        DensityEstimator(sampler_options={"num_particles": 0.9})
+    with pytest.raises(ValueError, match="positive number"):
+        DensityEstimator(sampler_options={"num_chains": True})
+    # whole-valued floats and genuine floats for float options are fine
+    DensityEstimator(sampler_options={"num_chains": 4.0})
+    DensityEstimator(sampler_options={"target_accept": 0.9})

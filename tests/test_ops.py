@@ -458,3 +458,22 @@ def test_randomized_eigh_top_spectrum():
     np.testing.assert_allclose(np.asarray(s)[-10:], vals[-10:], rtol=1e-4)
     res = np.asarray(A @ v - v * s)
     assert np.linalg.norm(res, axis=0)[-5:].max() < 1e-3 * vals[-1]
+
+
+def test_eigendecomposition_raw_rank_pre_quantization():
+    """with_raw_rank must report the mass-selected rank BEFORE the
+    power-of-two bucket: the Nystroem sketch-saturation check uses it, and
+    the quantized rank would spuriously saturate mid-range selections."""
+    from mellon_tpu.ops.linalg import _eigendecomposition
+
+    rs = np.random.RandomState(3)
+    n = 300  # > 256 so fractional ranks quantize
+    A = rs.randn(n, 2 * n)
+    W = jnp.asarray(A @ A.T / (2 * n) + 1e-3 * np.eye(n))
+    s, v, raw_p = _eigendecomposition(W, rank=0.9, with_raw_rank=True)
+    p = s.shape[0]
+    assert raw_p <= p  # quantization only rounds UP
+    assert p in (raw_p, *(b for b in (2, 4, 8, 16, 32, 64, 128, 256, 512)))
+    # integer ranks: raw == selected
+    s2, v2, raw2 = _eigendecomposition(W, rank=17, with_raw_rank=True)
+    assert raw2 == s2.shape[0] == 17

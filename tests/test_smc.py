@@ -210,3 +210,24 @@ def test_smc_combined_particle_and_cell_sharding():
     f = jax.vmap(est.transform)(res.particles)
     f_mean = np.asarray(f.mean(axis=0))
     assert np.corrcoef(f_mean, ld_map)[0, 1] > 0.9
+
+
+def test_next_beta_always_progresses_in_f32():
+    """On sharply peaked likelihoods the admissible tempering increment
+    falls below one f32 ulp of beta; the bisection must still advance
+    beta (a bounded eps-step) instead of stalling the sweep at a fixed
+    temperature until max_stages."""
+    from mellon_tpu.inference.smc import _next_beta
+
+    # log-lik spread so large that keeping ESS above target requires
+    # delta << f32 eps — the admissible increment rounds away in f32
+    log_lik = jnp.asarray(
+        np.linspace(0.0, -1e8, 256), dtype=jnp.float32
+    )
+    beta = jnp.asarray(0.5, dtype=jnp.float32)
+    target = jnp.asarray(128.0, dtype=jnp.float32)
+    new_beta = _next_beta(log_lik, beta, target)
+    assert new_beta.dtype == jnp.float32
+    assert float(new_beta) > float(beta)
+    # and the forced step stays eps-sized, not a jump
+    assert float(new_beta) - float(beta) < 1e-5

@@ -421,3 +421,28 @@ def test_batched_ls_time_host_rescue_f32():
         assert any("factorizing those groups on the host" in m for m in records), records
     finally:
         jax.config.update("jax_enable_x64", x64_was)
+
+
+def test_host_f64_cores_match_device_kernels():
+    """The ls_time rescue rebuilds singular groups' kernels on the host
+    from numpy re-implementations of the radial profiles; pin them to the
+    device kernel definitions so a convention change in ops/kernels.py
+    cannot silently make the rescue factorize a different matrix."""
+    from mellon_tpu.models.ls_time import _HOST_F64_CORES
+    from mellon_tpu.ops.kernels import ExpQuad, Exponential, Matern32, Matern52
+
+    device_kernels = {
+        "matern32": Matern32,
+        "matern52": Matern52,
+        "expquad": ExpQuad,
+        "exponential": Exponential,
+    }
+    rs = np.random.RandomState(11)
+    x = rs.randn(40, 3)
+    for tag, host_core in _HOST_F64_CORES.items():
+        ls = 1.7
+        K_host = host_core(x, ls)
+        K_dev = np.asarray(device_kernels[tag](ls)(jnp.asarray(x), jnp.asarray(x)))
+        np.testing.assert_allclose(
+            K_host, K_dev, rtol=1e-5, atol=1e-6, err_msg=tag
+        )
