@@ -1,0 +1,59 @@
+"""Focused re-measure of the sparse_nystroem baseline row (warm time +
+accuracy certificate) — used to validate precision changes in the
+randomized eigensolver without re-running the whole baseline matrix.
+
+Usage: python scripts/nystroem_recheck.py
+"""
+
+import time
+
+from _common import jax, log  # noqa: F401  (repo path + compile cache)
+
+import jax.numpy as jnp
+
+
+def main():
+    from bench import make_data
+    from accuracy_cert import compare_named, named_x
+
+    import mellon_tpu
+
+    log(f"devices: {jax.devices()}")
+    n, d = 8627, 20
+
+    def fit(key):
+        est = mellon_tpu.DensityEstimator(
+            gp_type="sparse_nystroem", rank=0.999, n_landmarks=2000
+        )
+        return est.fit_predict(make_data(jax.random.PRNGKey(key), n, d))
+
+    t0 = time.time()
+    fit(5)
+    log(f"cold fit: {time.time() - t0:.1f}s")
+    times = []
+    for k in (1, 2, 0):
+        t0 = time.time()
+        fit(k)
+        times.append(time.time() - t0)
+    times.sort()
+    log(f"warm fit (median of 3): {times[1]:.3f}s "
+        f"(reference 18.60s, {18.6 / times[1]:.1f}x)")
+
+    named = named_x("nystroem_8627x20")
+    if named is not None:
+        xc, _ = named
+        cert = compare_named("nystroem_8627x20", fit_x(jnp.asarray(xc)))
+        log(f"accuracy vs host-f64: {cert}")
+
+
+def fit_x(x):
+    import mellon_tpu
+
+    est = mellon_tpu.DensityEstimator(
+        gp_type="sparse_nystroem", rank=0.999, n_landmarks=2000
+    )
+    return est.fit_predict(x)
+
+
+if __name__ == "__main__":
+    main()
