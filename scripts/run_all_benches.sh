@@ -23,5 +23,7 @@ run ls_time_d20 python scripts/ls_time_bench.py 20
 run time        python scripts/time_bench.py
 run nuts        python scripts/nuts_bench.py
 run predict     python scripts/predict_bench.py
+run smc         python scripts/smc_bench.py
+run nystroem    python scripts/nystroem_recheck.py
 run tpu_tests   env MELLON_TPU_TESTS=1 python -m pytest tests/test_tpu_contracts.py -m tpu -q
 run atlas       python scripts/atlas_bench.py
