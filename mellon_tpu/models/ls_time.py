@@ -99,20 +99,41 @@ def _masked_quantile_01(values, mask, n_real):
     return srt[lo] * (1.0 - w) + v_hi * w
 
 
+def _safe_exp(x):
+    """``exp`` with a linear continuation above 60: finite and still
+    strictly increasing, so an overflowing line-search trial point stays
+    *repelling* (large finite loss, finite gradient) instead of poisoning
+    the optimizer with ``inf - inf = NaN``.  The double-``where`` keeps the
+    gradient NaN-free too.  e^60 ~ 1e26 is far beyond any optimum (the
+    A-term is O(1) per cell at the MAP), so the fit itself never sees the
+    continuation."""
+    big = x > 60.0
+    xs = jnp.where(big, 60.0, x)
+    return jnp.where(big, jnp.exp(60.0) * (1.0 + (x - 60.0)), jnp.exp(xs))
+
+
 def _batched_density_loss(zflat, L_stack, nng, mask, mu_t, d):
     """Sum of the T masked whitened density losses.  Identical math to
     ``inference.losses.density_loss`` per group; padded cells contribute a
     masked-out likelihood term and a prior term whose gradient is zero at
-    the zero initialization, so they never move."""
+    the zero initialization, so they never move.
+
+    The likelihood uses :func:`_safe_exp` and a ``where``-mask (not a
+    multiply): with ten jointly-fit groups whose rescued factors are
+    near-singular, the zoom line search can probe latents where
+    ``exp(F + V)`` overflows f32 — a multiplicative mask then yields
+    ``0 * -inf = NaN`` for padded cells and ``inf`` gradients for real
+    ones, aborting L-BFGS at step 1 with a NaN loss (observed on TPU at
+    the d=2 bench shape)."""
     T, n_pad, _ = L_stack.shape
     Z = zflat.reshape(T, n_pad)
     F = jnp.einsum("tij,tj->ti", L_stack, Z) + mu_t[:, None]
     const = (d * jnp.log(jnp.pi) / 2) - gammaln(d / 2 + 1)
     V = jnp.log(nng) * d + const
     Vdr = jnp.log(d) + (d - 1) * jnp.log(nng) + const
-    A = jnp.exp(F + V)
+    A = _safe_exp(F + V)
     B = F + Vdr
-    loglik = jnp.sum(mask * (B - A))
+    loglik = jnp.sum(jnp.where(mask > 0, B - A, 0.0))
     prior = -0.5 * jnp.sum(Z**2) - (Z.size / 2) * jnp.log(2 * jnp.pi)
     return -(prior + loglik)
 

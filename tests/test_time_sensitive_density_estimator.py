@@ -446,3 +446,60 @@ def test_host_f64_cores_match_device_kernels():
         np.testing.assert_allclose(
             K_host, K_dev, rtol=1e-5, atol=1e-6, err_msg=tag
         )
+
+
+def test_batched_loss_finite_on_overflowing_latents():
+    """Zoom line-search trial points can push exp(F+V) past the f32 range;
+    the batched loss must stay finite with finite gradients (and keep
+    repelling) instead of producing 0*inf = NaN through the padding mask —
+    the failure observed on TPU at the d=2 bench shape."""
+    from mellon_tpu.models.ls_time import _batched_density_loss
+
+    T, n_pad = 2, 4
+    rs = np.random.RandomState(0)
+    L = jnp.asarray(
+        np.stack([np.eye(n_pad), np.eye(n_pad)]), dtype=jnp.float32
+    )
+    nng = jnp.asarray(rs.uniform(0.05, 0.2, (T, n_pad)), dtype=jnp.float32)
+    mask = jnp.asarray(
+        [[1, 1, 1, 0], [1, 1, 0, 0]], dtype=jnp.float32
+    )
+    mu = jnp.asarray([-5.0, -5.0], dtype=jnp.float32)
+    d32 = jnp.asarray(2.0, dtype=jnp.float32)
+
+    # latents large enough that F + V >> 88 (f32 exp overflow)
+    z_big = jnp.full((T * n_pad,), 500.0, dtype=jnp.float32)
+    loss_fn = lambda z: _batched_density_loss(z, L, nng, mask, mu, d32)
+    val = loss_fn(z_big)
+    grad = jax.grad(loss_fn)(z_big)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+    # still repelling: even larger latents cost more
+    assert float(loss_fn(2 * z_big)) > float(val)
+    # padded latents carry only the prior gradient (= z itself)
+    g = np.asarray(grad).reshape(T, n_pad)
+    np.testing.assert_allclose(g[0, 3], 500.0, rtol=1e-5)
+    np.testing.assert_allclose(g[1, 2:], 500.0, rtol=1e-5)
+    # and in the sane regime the safe exp is exactly exp
+    z_small = jnp.zeros((T * n_pad,), dtype=jnp.float32)
+    F = mu[:, None] * jnp.ones((T, n_pad))
+    const = float(
+        d32 * jnp.log(jnp.pi) / 2
+        - jax.scipy.special.gammaln(d32 / 2 + 1)
+    )
+    V = np.log(np.asarray(nng)) * 2.0 + const
+    Vdr = np.log(2.0) + np.log(np.asarray(nng)) + const
+    ref = -(
+        -0.5 * 0.0
+        - (T * n_pad / 2) * np.log(2 * np.pi)
+        + float(
+            jnp.sum(
+                jnp.where(
+                    mask > 0,
+                    (jnp.asarray(F) + Vdr) - jnp.exp(jnp.asarray(F) + V),
+                    0.0,
+                )
+            )
+        )
+    )
+    np.testing.assert_allclose(float(loss_fn(z_small)), ref, rtol=1e-5)
