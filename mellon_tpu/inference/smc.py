@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .samplers import hmc_init, hmc_kernel
 
@@ -50,11 +51,16 @@ def loglik_from_loss(loss_fn):
 
 class SMCResult(NamedTuple):
     particles: jnp.ndarray       # (num_particles, dim)
-    log_weights: jnp.ndarray     # (num_particles,)
+    log_weights: jnp.ndarray     # (num_particles,) weights FOR `particles`:
+    # zeros when the sweep reached beta=1 (the population was resampled and
+    # mutated under the full posterior, so uniform weights are exact)
     betas: list                  # tempering schedule actually used
     ess_history: list
     acceptance_history: list
     log_evidence: jnp.ndarray    # log normalizing-constant estimate
+    final_stage_log_weights: jnp.ndarray = None  # (num_particles,) the last
+    # stage's actual pre-resampling weights — diagnose terminal ESS or
+    # reweight-without-resampling analyses; None before any stage ran
 
 
 def _std_normal_logpdf(z):
@@ -68,10 +74,21 @@ def _ess_from_log_weights(log_w):
     return jnp.exp(-jax.scipy.special.logsumexp(2 * log_w))
 
 
-def _next_beta(log_lik, beta, target_ess):
+def _next_beta(log_lik, beta, target_ess, min_step):
     """Largest admissible β increment keeping ESS above target — 30
     bisection steps entirely on device (the old host-side search made ~32
-    blocking fetches per stage; this makes none)."""
+    blocking fetches per stage; this makes none).
+
+    ``min_step`` floors the increment.  The caller passes the schedule
+    floor ``(1 - β) / stages_left`` so the sweep is GUARANTEED to reach
+    β = 1 within ``max_stages``: on sharply peaked likelihoods the
+    admissible increment can fall below one f32 ulp of beta (eps ~1.2e-7)
+    and an unfloored ``beta + lo`` would stall the sweep at a fixed
+    temperature forever.  A forced (floored) step offers no ESS guarantee
+    for that stage — ESS may collapse far below target on a peaked
+    likelihood — which the subsequent systematic resample and HMC
+    mutation absorb; the caller logs when it happens.
+    """
     hi0 = 1.0 - beta
 
     def ess_at(delta):
@@ -87,15 +104,13 @@ def _next_beta(log_lik, beta, target_ess):
 
     zero = jnp.zeros_like(hi0)
     lo, _ = jax.lax.fori_loop(0, 30, body, (zero, hi0))
-    # guarantee progress in the accumulation dtype: on sharply peaked
-    # likelihoods the admissible increment can fall below one ulp of beta
-    # (f32 eps ~1.2e-7), and `beta + lo` would return beta exactly —
-    # stalling the sweep at a fixed temperature for all remaining stages.
-    # Forcing at least an eps-sized step trades a bounded one-ulp ESS
-    # undershoot for guaranteed termination.
-    min_step = jnp.asarray(jnp.finfo(hi0.dtype).eps, hi0.dtype)
-    lo = jnp.minimum(jnp.maximum(lo, min_step), hi0)
-    return jnp.where(full_ok, jnp.ones_like(hi0), beta + lo)
+    eps = jnp.asarray(jnp.finfo(hi0.dtype).eps, hi0.dtype)
+    lo = jnp.minimum(jnp.maximum(lo, jnp.maximum(min_step, eps)), hi0)
+    # a floored step that consumes the whole remaining gap must land on
+    # exactly 1.0 — `beta + (1 - beta)` can round below it in f32, which
+    # would leak one spurious extra stage past the schedule guarantee
+    done = full_ok | (lo >= hi0)
+    return jnp.where(done, jnp.ones_like(hi0), beta + lo)
 
 
 def _systematic_resample(key, log_w, num_particles):
@@ -123,6 +138,7 @@ def _smc_stage(
     beta,
     step_size,
     target_ess,
+    min_step,
     num_mutation_steps,
     num_leapfrog_steps,
     *loglik_args,
@@ -133,7 +149,7 @@ def _smc_stage(
     num_particles, dim = particles.shape
 
     log_lik = jax.vmap(lambda z: loglik_fn(z, *loglik_args))(particles)
-    new_beta = _next_beta(log_lik, beta, target_ess)
+    new_beta = _next_beta(log_lik, beta, target_ess, min_step)
     log_w = (new_beta - beta) * log_lik
     log_ev_inc = jax.scipy.special.logsumexp(log_w) - jnp.log(num_particles)
     ess = _ess_from_log_weights(log_w)
@@ -163,7 +179,7 @@ def _smc_stage(
 
     mut_keys = jax.random.split(k_mut, num_particles)
     particles, accept = jax.vmap(one_chain)(particles, mut_keys)
-    return particles, new_beta, ess, jnp.mean(accept), log_ev_inc
+    return particles, new_beta, ess, jnp.mean(accept), log_ev_inc, log_w
 
 
 def run_smc(
@@ -195,6 +211,13 @@ def run_smc(
     ``loglik_args`` compose with it (chains × cells).  An explicit
     ``particle_sharding=`` (any ``NamedSharding`` whose spec splits the
     leading axis) overrides the default placement.
+
+    The sweep ALWAYS reaches β = 1 within ``max_stages``: each stage's
+    tempering step is floored at (remaining gap) / (stages left), so
+    ``max_stages`` is a hard schedule bound, not a best-effort budget.
+    Forced (floored) steps may undershoot the stage ESS target on sharply
+    peaked likelihoods — logged as a warning, absorbed by the subsequent
+    resample and HMC mutation.
 
     Returns an :class:`SMCResult`; ``log_evidence`` estimates
     log ∫ prior(z) exp(loglik(z)) dz.
@@ -240,9 +263,15 @@ def run_smc(
     step_size = mutation_step_size
     target_ess = target_ess_frac * num_particles
 
+    final_log_w = None
     for stage in range(max_stages):
         key, sub = jax.random.split(key)
-        particles, new_beta, ess, accept, ev_inc = _smc_stage(
+        # schedule floor: taking at least (remaining gap) / (stages left)
+        # per stage guarantees beta reaches EXACTLY 1.0 within max_stages
+        # (the last stage's floor is the whole gap); the adaptive bisection
+        # only ever takes MORE than the floor, never less
+        min_step = (1.0 - beta) / (max_stages - stage)
+        particles, new_beta, ess, accept, ev_inc, final_log_w = _smc_stage(
             loglik_fn,
             prior_fn,
             particles,
@@ -250,6 +279,7 @@ def run_smc(
             jnp.asarray(beta, dtype),
             jnp.asarray(step_size, dtype),
             jnp.asarray(target_ess, dtype),
+            jnp.asarray(min_step, dtype),
             num_mutation_steps,
             num_leapfrog_steps,
             *loglik_args,
@@ -261,11 +291,9 @@ def run_smc(
         )
         log_evidence += ev_inc
 
-        # crude step-size controller towards ~65% acceptance
-        if accept < 0.4:
-            step_size *= 0.7
-        elif accept > 0.85:
-            step_size *= 1.3
+        # smooth multiplicative controller towards ~65% acceptance
+        # (bounded per-stage change; replaces the old 0.7x/1.3x bang-bang)
+        step_size *= float(np.clip(np.exp(accept - 0.65), 0.6, 1.45))
 
         betas.append(new_beta)
         ess_hist.append(ess)
@@ -278,19 +306,31 @@ def run_smc(
             accept,
             step_size,
         )
+        if ess < 0.5 * target_ess:
+            logger.warning(
+                "SMC stage %d ESS %.0f fell well below target %.0f (forced "
+                "tempering step on a peaked likelihood); the resample/"
+                "mutation absorbs the degeneracy, but consider more stages "
+                "or particles if this recurs.",
+                stage,
+                ess,
+                target_ess,
+            )
         beta = new_beta
         if beta >= 1.0:
             break
-    else:
-        logger.warning("SMC reached max_stages before beta=1.")
 
     return SMCResult(
         particles=particles,
+        # uniform — the schedule floor guarantees the loop exits at beta=1,
+        # so the returned population was resampled and mutated under the
+        # full posterior; the last PRE-resampling weights are surfaced below
         log_weights=jnp.zeros(num_particles),
         betas=betas,
         ess_history=ess_hist,
         acceptance_history=accept_hist,
         log_evidence=jnp.asarray(log_evidence),
+        final_stage_log_weights=final_log_w,
     )
 
 

@@ -110,9 +110,13 @@ def _validate_sampler_options(options):
             f"SMC accepts {sorted(_SMC_OPTION_KEYS)}."
         )
     for name, value in options.items():
+        # finiteness first: inf on an int-keyed option would raise an
+        # uncaught OverflowError in the integrality check below, and
+        # NaN passes `value <= 0` (NaN comparisons are False)
         if (
             isinstance(value, bool)
             or not isinstance(value, (int, float))
+            or not math.isfinite(value)
             or value <= 0
         ):
             raise ValueError(

@@ -386,8 +386,13 @@ def _modified_low_rank(
         sketch,
         m,
     )
+    # both products at HIGHEST: vs carries rsqrt-amplified entries, and a
+    # default-precision (bf16-pass) inner product would re-inject ~1e-3
+    # relative noise that the gram-side pins just removed
     return jnp.matmul(
-        C, vs @ U, precision=jax.lax.Precision.HIGHEST
+        C,
+        jnp.matmul(vs, U, precision=jax.lax.Precision.HIGHEST),
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

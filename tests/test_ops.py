@@ -473,7 +473,9 @@ def test_eigendecomposition_raw_rank_pre_quantization():
     s, v, raw_p = _eigendecomposition(W, rank=0.9, with_raw_rank=True)
     p = s.shape[0]
     assert raw_p <= p  # quantization only rounds UP
-    assert p in (raw_p, *(b for b in (2, 4, 8, 16, 32, 64, 128, 256, 512)))
+    # allowed: raw (no quantization), a power-of-two bucket, or the n cap
+    # (quantized ranks are clipped to A.shape[0] when the bucket exceeds n)
+    assert p in (raw_p, 2, 4, 8, 16, 32, 64, 128, 256, 512, n)
     # integer ranks: raw == selected
     s2, v2, raw2 = _eigendecomposition(W, rank=17, with_raw_rank=True)
     assert raw2 == s2.shape[0] == 17

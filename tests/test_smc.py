@@ -165,6 +165,7 @@ def test_smc_stage_lowers_to_collectives():
         jnp.asarray(0.0),
         jnp.asarray(0.3),
         jnp.asarray(num_particles / 2.0),
+        jnp.asarray(0.01),
         2,
         3,
     )
@@ -212,11 +213,11 @@ def test_smc_combined_particle_and_cell_sharding():
     assert np.corrcoef(f_mean, ld_map)[0, 1] > 0.9
 
 
-def test_next_beta_always_progresses_in_f32():
+def test_next_beta_respects_schedule_floor():
     """On sharply peaked likelihoods the admissible tempering increment
     falls below one f32 ulp of beta; the bisection must still advance
-    beta (a bounded eps-step) instead of stalling the sweep at a fixed
-    temperature until max_stages."""
+    beta by at least the schedule floor (remaining gap / stages left)
+    instead of stalling the sweep at a fixed temperature."""
     from mellon_tpu.inference.smc import _next_beta
 
     # log-lik spread so large that keeping ESS above target requires
@@ -226,8 +227,45 @@ def test_next_beta_always_progresses_in_f32():
     )
     beta = jnp.asarray(0.5, dtype=jnp.float32)
     target = jnp.asarray(128.0, dtype=jnp.float32)
-    new_beta = _next_beta(log_lik, beta, target)
+    floor = jnp.asarray(0.5 / 50, dtype=jnp.float32)  # 50 stages left
+    new_beta = _next_beta(log_lik, beta, target, floor)
     assert new_beta.dtype == jnp.float32
-    assert float(new_beta) > float(beta)
-    # and the forced step stays eps-sized, not a jump
-    assert float(new_beta) - float(beta) < 1e-5
+    # the forced step is exactly the floor (ESS would prefer ~0)
+    assert float(new_beta) == pytest.approx(0.5 + 0.5 / 50, rel=1e-6)
+    # a whole-gap floor lands on exactly 1.0 (no f32 round-below leak)
+    new_beta = _next_beta(log_lik, beta, target, jnp.asarray(0.5, jnp.float32))
+    assert float(new_beta) == 1.0
+
+
+def test_smc_terminates_at_beta_one_on_peaked_posterior():
+    """A sharply peaked likelihood (posterior std ~0.03 vs prior std 1)
+    genuinely needs many tempering stages; the schedule floor guarantees
+    beta reaches EXACTLY 1 within max_stages, the final population still
+    tracks the analytic posterior, and the last stage's actual
+    pre-resampling weights are surfaced for terminal-ESS diagnosis."""
+    m = jnp.asarray([1.5, -0.8, 0.4])
+    s2 = 1e-3  # peaked: each unit of beta reweights by exp(-|z-m|^2/2e-3)
+
+    def loglik(z):
+        return -0.5 * jnp.sum((z - m) ** 2) / s2
+
+    res = run_smc(
+        loglik, 3, jax.random.PRNGKey(7), num_particles=1024,
+        num_mutation_steps=5, max_stages=60,
+    )
+    assert res.betas[-1] == 1.0
+    assert len(res.betas) <= 60
+    post_prec = 1 + 1 / s2
+    post_mean = (np.asarray(m) / s2) / post_prec
+    post_std = 1 / np.sqrt(post_prec)
+    particles = np.asarray(res.particles)
+    assert np.all(np.isfinite(particles))
+    np.testing.assert_allclose(particles.mean(axis=0), post_mean, atol=0.02)
+    np.testing.assert_allclose(particles.std(axis=0), post_std, rtol=0.35)
+    # surfaced terminal diagnostics: real weights, not placeholder zeros
+    w = np.asarray(res.final_stage_log_weights)
+    assert w.shape == (1024,)
+    norm = w - np.log(np.sum(np.exp(w - w.max()))) - w.max()
+    terminal_ess = 1.0 / np.sum(np.exp(2 * norm))
+    assert 1.0 <= terminal_ess <= 1024.0
+    assert terminal_ess == pytest.approx(res.ess_history[-1], rel=1e-3)
