@@ -40,7 +40,7 @@ from .conditionals import (
 )
 from .predictors import ExpPredictor, Predictor, PredictorTime
 from .derivatives import derivative, gradient, hessian, hessian_log_determinant
-from .mcmc import MCMCResult, run_mcmc, sample_density_posterior
+from .mcmc import MCMCResult, resume_mcmc, run_mcmc, sample_density_posterior
 from .samplers import hmc_kernel, nuts_kernel
 from .smc import SMCResult, run_smc, smc_density_posterior
 from .diagnostics import effective_sample_size, split_rhat, summarize

@@ -171,6 +171,113 @@ def _run_mcmc_compiled(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "potential_fn",
+        "algorithm",
+        "max_tree_depth",
+        "num_leapfrog_steps",
+        "num_samples",
+    ),
+)
+def _resume_mcmc_compiled(
+    potential_fn,
+    z0,
+    key,
+    num_samples,
+    algorithm,
+    max_tree_depth,
+    num_leapfrog_steps,
+    step_size,
+    inv_mass,
+    *potential_args,
+):
+    """Sampling-only program: no warmup phases, the adapted step size and
+    mass matrix come from a checkpoint (see :mod:`..parallel.checkpoint`)."""
+    pot = (
+        (lambda z: potential_fn(z, *potential_args))
+        if potential_args
+        else potential_fn
+    )
+    if algorithm == "nuts":
+        kernel = nuts_kernel(pot, max_tree_depth=max_tree_depth)
+    elif algorithm == "hmc":
+        kernel = hmc_kernel(pot, num_steps=num_leapfrog_steps)
+    else:
+        raise ValueError(f"Unknown MCMC algorithm: {algorithm}")
+
+    num_chains, dim = z0.shape
+    batched_kernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
+    states = jax.vmap(lambda z: hmc_init(pot, z))(z0)
+
+    def sample_step(states, keys):
+        new_states, infos = batched_kernel(states, keys, step_size, inv_mass)
+        out = (
+            new_states.z,
+            new_states.potential,
+            infos.accept_prob,
+            infos.diverging,
+            infos.num_steps,
+        )
+        return new_states, out
+
+    keys_s = jax.random.split(key, (num_samples, num_chains))
+    states, (zs, pots, accepts, divs, steps) = jax.lax.scan(
+        sample_step, states, keys_s
+    )
+
+    return MCMCResult(
+        samples=jnp.moveaxis(zs, 0, 1),
+        potential=jnp.moveaxis(pots, 0, 1),
+        accept_prob=jnp.moveaxis(accepts, 0, 1),
+        diverging=jnp.moveaxis(divs, 0, 1),
+        step_size=step_size,
+        inv_mass_diag=inv_mass,
+        num_leapfrog=jnp.moveaxis(steps, 0, 1),
+    )
+
+
+def resume_mcmc(
+    potential_fn,
+    z0,
+    key,
+    step_size,
+    inv_mass_diag,
+    num_samples=500,
+    algorithm="nuts",
+    max_tree_depth=10,
+    num_leapfrog_steps=32,
+    chain_sharding=None,
+    potential_args=(),
+):
+    """Continue sampling from a checkpointed sampler state — NO re-warmup.
+
+    The pod-restart path (SURVEY.md §5.4): restore ``z0`` (the chains' last
+    positions, e.g. ``result.samples[:, -1, :]``), the adapted ``step_size``
+    and ``inv_mass_diag`` from :func:`..parallel.checkpoint.load_sampler_state`,
+    optionally reshard onto a DIFFERENT mesh via ``chain_sharding``, and run
+    the sampling phase only.  Momenta are drawn fresh (exact: momentum is
+    resampled every transition anyway), so the resumed chain targets the
+    same stationary distribution with no warmup transient.
+    """
+    z0 = jnp.atleast_2d(z0)
+    if chain_sharding is not None:
+        z0 = jax.device_put(z0, chain_sharding)
+    return _resume_mcmc_compiled(
+        potential_fn,
+        z0,
+        key,
+        int(num_samples),
+        algorithm,
+        int(max_tree_depth),
+        int(num_leapfrog_steps),
+        jnp.asarray(step_size),
+        jnp.asarray(inv_mass_diag),
+        *potential_args,
+    )
+
+
 def run_mcmc(
     potential_fn,
     z0,

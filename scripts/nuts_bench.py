@@ -104,6 +104,33 @@ def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2,
         f"{np.median(ess) / t_total:.2f}"
     )
 
+    # --- roofline / MFU for the leapfrog hot loop --------------------------
+    # each leapfrog evaluates value_and_grad(density_loss): the (n, m)
+    # matvec f = L z (2nm FLOPs) forward and dz = Lᵀ df (2nm) backward,
+    # per chain -> 4·n·m·chains FLOPs and two full reads of L from HBM.
+    # num_leapfrog only counts the sampling phase while t_total includes
+    # warmup, so warmup trees are estimated at the sampled leapfrogs/draw
+    # rate (post-adaptation tree depth is stationary).
+    V5E_PEAK_BF16_FLOPS = 197e12  # MXU peak (f32 storage runs bf16 passes)
+    V5E_HBM_BYTES_S = 819e9
+    lf_per_draw = total_leapfrogs / max(total_draws, 1)
+    est_leapfrogs = lf_per_draw * (num_warmup + num_samples) * num_chains
+    flops = 4.0 * n * m * est_leapfrogs
+    bytes_moved = 2.0 * n * m * L.dtype.itemsize * est_leapfrogs
+    achieved_flops = flops / t_total
+    achieved_bw = bytes_moved / t_total
+    ai = flops / bytes_moved  # FLOP/byte; MXU ridge is ~240 at bf16
+    bound = "HBM-bandwidth" if ai < V5E_PEAK_BF16_FLOPS / V5E_HBM_BYTES_S \
+        else "MXU"
+    log(
+        f"roofline (est. incl. warmup trees): "
+        f"{achieved_flops / 1e12:.2f} TFLOP/s "
+        f"({100 * achieved_flops / V5E_PEAK_BF16_FLOPS:.1f}% of v5e MXU peak), "
+        f"{achieved_bw / 1e9:.0f} GB/s "
+        f"({100 * achieved_bw / V5E_HBM_BYTES_S:.1f}% of v5e HBM peak); "
+        f"arithmetic intensity {ai:.1f} FLOP/B -> {bound}-bound"
+    )
+
 
 if __name__ == "__main__":
     # precision may appear at any position; the remaining args are the

@@ -30,7 +30,9 @@ def _free_port():
 
 @pytest.mark.slow
 def test_two_process_distributed_checkpoint(tmp_path):
-    """distributed_initialize + save/load across 2 real processes."""
+    """distributed_initialize + checkpoint save/load + cross-process NUTS
+    window + cross-process SMC sweep across 2 real processes (the worker
+    asserts moment/evidence agreement with process-local runs)."""
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
     env = dict(os.environ)
@@ -54,7 +56,7 @@ def test_two_process_distributed_checkpoint(tmp_path):
     outputs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=480)
             outputs.append(out)
     finally:
         for p in procs:
@@ -62,6 +64,8 @@ def test_two_process_distributed_checkpoint(tmp_path):
                 p.kill()
     for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"WORKER_CKPT_OK {pid}" in out, out
+        assert f"WORKER_NUTS_OK {pid}" in out, out
         assert f"WORKER_OK {pid}" in out, out
 
 
