@@ -232,9 +232,12 @@ class DensityEstimator(BaseEstimator):
         # sets nn_distances/d/mu/ls/cov_func/landmarks/Lp together (the lazy
         # chain below then finds them present); any customization falls
         # through to the lazy per-attribute path
-        from .fused import maybe_fused_sparse_prepare
+        from .fused import (
+            maybe_fused_nystroem_prepare,
+            maybe_fused_sparse_prepare,
+        )
 
-        maybe_fused_sparse_prepare(self)
+        maybe_fused_sparse_prepare(self) or maybe_fused_nystroem_prepare(self)
         self._prepare_attribute("nn_distances")
         self._prepare_attribute("d")
         self._prepare_attribute("mu")

@@ -257,6 +257,107 @@ def maybe_fused_sparse_prepare(est):
     return True
 
 
+def maybe_fused_nystroem_prepare(est):
+    """Fused prepare for the ``sparse_nystroem`` configuration at m > 512.
+
+    Stage 1 is the SAME program as the default sparse prepare (kNN →
+    heuristics → k-means → landmark kernel), so the expensive executable is
+    shared across GP types; the Nyström factorization then runs as one
+    fused core program (cross-covariance + randomized sketch + Gram
+    projection, ``ops/linalg.py:_fused_nystroem_core``) plus the shared
+    mass-selection/final-factor programs — replacing the lazy path's dozens
+    of eager dispatches and per-attribute host fetches.  m ≤ 512 keeps the
+    lazy exact-eigh path (reference bit-parity there).
+    """
+    curry = est.cov_func_curry
+    tag = getattr(curry, "_spec_tag", None)
+    if not (
+        ENABLED
+        and est.nn_distances is None
+        and est.mu is None
+        and est.ls is None
+        and est.cov_func is None
+        and est.landmarks is None
+        and est.Lp is None
+        and est.L is None
+        and est.initial_value is None
+        and est.d is None
+        and not est.check_rank
+        and getattr(est, "d_method", None) == "embedding"
+        and est.gp_type == GaussianProcessType.SPARSE_NYSTROEM
+        and tag in _SPEC_CORES
+        and tuple(getattr(curry, "_spec_params", ())) == ("ls",)
+    ):
+        return False
+
+    from ..ops.linalg import NYSTROEM_EXACT_MAX, _fused_nystroem_L
+    from .base import RANK_FRACTION_THRESHOLD
+
+    x = est.x
+    n, d_int = x.shape
+    if d_int > 50:
+        return False  # the lazy path raises the documented d>50 error
+    if _cpu_ivf_applies(n):
+        return False  # the lazy kNN auto-selects IVF at this scale on CPU
+    k = int(est.n_landmarks)
+    if not NYSTROEM_EXACT_MAX < k < n:
+        return False  # small m: exact-eigh lazy path (reference parity)
+
+    logger.info("Computing nearest neighbor distances.")
+    logger.info(
+        f"Using embedding dimensionality d={d_int}. "
+        'Use d_method="fractal" to enable effective density normalization.'
+    )
+    n_sub, random_state = _landmark_preamble(est, n, k)
+
+    spec = (tag, None, 1)
+    key = jax.random.PRNGKey(int(random_state))
+    nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, _Lp, _ok, _piv, _r = (
+        _fused_sparse_prepare_program(
+            x,
+            key,
+            float(est.jitter),
+            float(est.ls_factor),
+            spec,
+            k,
+            d_int,
+            n_sub,
+            int(min(DEFAULT_BATCH_SIZE, n)),
+            int(min(DEFAULT_ASSIGN_BLOCK, n_sub if n_sub is not None else n)),
+        )
+    )
+    # ONE host transfer for the scalars the host logic needs (the unused
+    # Cholesky-attempt outputs of the shared stage-1 program stay on device)
+    nan_c, inf_c, neg_c, all_bad, mu, ls = jax.device_get(
+        (nan_c, inf_c, neg_c, all_bad, mu, ls)
+    )
+    report_nn_repair(nan_c, inf_c, neg_c, all_bad)
+
+    est.nn_distances = nn
+    est.d = d_int
+    est.mu = float(mu)
+    est.ls = float(ls)
+    est.cov_func = curry(float(ls))
+    logger.info("Using covariance function %s.", str(est.cov_func))
+    est.landmarks = xu
+
+    rank = est.rank
+    L = _fused_nystroem_L(
+        x, xu, K, rank, float(est.jitter), (float(ls),), spec
+    )
+    # _compute_L's logging/warning contract for the Nyström types
+    new_rank = L.shape[1]
+    if new_rank > (rank * RANK_FRACTION_THRESHOLD * k):
+        logger.warning(
+            f"Shallow rank reduction from {k:,} to {new_rank:,} "
+            "indicates underrepresentation by landmarks. Consider "
+            "increasing n_landmarks!"
+        )
+    logger.info(f"Using rank {new_rank:,} covariance representation.")
+    est.L = L
+    return True
+
+
 @partial(
     jax.jit,
     static_argnames=(

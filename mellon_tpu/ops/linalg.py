@@ -386,14 +386,82 @@ def _modified_low_rank(
         sketch,
         m,
     )
-    # both products at HIGHEST: vs carries rsqrt-amplified entries, and a
-    # default-precision (bf16-pass) inner product would re-inject ~1e-3
-    # relative noise that the gram-side pins just removed
+    return _nystroem_final(C, vs, U)
+
+
+@jax.jit
+def _nystroem_final(C, vs, U):
+    """L = C (vs U) with both products at HIGHEST: vs carries
+    rsqrt-amplified entries, and a default-precision (bf16-pass) product
+    would re-inject ~1e-3 relative noise that the gram-side pins removed."""
     return jnp.matmul(
         C,
         jnp.matmul(vs, U, precision=jax.lax.Precision.HIGHEST),
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+@partial(jax.jit, static_argnames=("spec", "sketch"))
+def _fused_nystroem_core(x, xu, K, eff_jitter, params, spec, sketch):
+    """One program for the pre-selection work of the randomized Nyström
+    path: cross-covariance C from the kernel's operand spec, stabilized
+    landmark kernel W, the randomized eigensolver sketch of W, and the
+    Gram-space projection whose spectrum drives the mass selection.
+
+    Same math as the eager sequence in :func:`_modified_low_rank` — the
+    fused prepare (``models/fused.py:maybe_fused_nystroem_prepare``) calls
+    this so a warm sparse_nystroem fit dispatches a handful of programs
+    instead of dozens of eager ops with per-attribute host fetches.
+    """
+    from .kernels import eval_operand_spec
+
+    hp = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    C = eval_operand_spec(spec, params, x, xu)
+    idx = jnp.arange(K.shape[0])
+    W = K.at[idx, idx].add(eff_jitter)
+    s, v = randomized_eigh(W, sketch)
+    floor_tol = 1e-12 if W.dtype == jnp.float64 else 1e-7
+    inv_sqrt_s = jax.lax.rsqrt(jnp.maximum(s, floor_tol * s[-1]))
+    vs = v * inv_sqrt_s
+    gram = hp(C.T, C)
+    proj = hp(vs.T, hp(gram, vs))
+    return C, vs, proj
+
+
+def _fused_nystroem_L(x, xu, K, rank, jitter, params, spec):
+    """Sketch loop + fractional-mass rank selection + final factor for the
+    fused sparse_nystroem prepare — the large-m path of
+    :func:`_modified_low_rank` (same selection logic and logs) driven by
+    the already-computed landmark kernel K from the fused stage-1 program.
+    """
+    m = xu.shape[0]
+    sketch = min(m, NYSTROEM_SKETCH)
+    if isinstance(rank, int):
+        sketch = min(m, max(sketch, 2 * rank))
+    eff_jitter = jnp.asarray(jitter, dtype=K.dtype)
+    while True:
+        C, vs, proj = _fused_nystroem_core(
+            x, xu, K, eff_jitter, tuple(params), spec, sketch
+        )
+        S, U, raw_p = _eigendecomposition(proj, rank=rank, with_raw_rank=True)
+        p = S.shape[0]
+        if raw_p < (3 * sketch) // 4 or sketch >= m:
+            break
+        logger.info(
+            "Nyström mass selection saturated the %d-column sketch "
+            "(selected %d); doubling the sketch.",
+            sketch,
+            raw_p,
+        )
+        sketch = min(2 * sketch, m)
+    logger.info(
+        "Randomized Nyström eigensolver: rank %d from a %d-column sketch "
+        "of the %d-landmark kernel.",
+        p,
+        sketch,
+        m,
+    )
+    return _nystroem_final(C, vs, U)
 
 
 @partial(jax.jit, static_argnames=("max_rank",))

@@ -434,3 +434,99 @@ def test_fused_prepare_nn_repair_warning(data, caplog):
         logger.propagate = False
     assert any("invalid values" in r.message for r in caplog.records)
     assert bool(jnp.all(est.nn_distances > 0))
+
+
+# ---------------------------------------------------------------------------
+# sparse_nystroem fused prepare (m > 512 randomized path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def nystroem_data():
+    rs = np.random.RandomState(1)
+    x = np.concatenate(
+        [rs.randn(500, 4) * 0.5 + 2.0, rs.randn(500, 4) * 0.8 - 2.0]
+    )
+    return jnp.asarray(x)
+
+
+def _prepare_nystroem(data, use_fused, **kwargs):
+    old = fused.ENABLED
+    fused.ENABLED = use_fused
+    try:
+        est = mellon_tpu.DensityEstimator(
+            gp_type="sparse_nystroem", n_landmarks=550, rank=0.999, **kwargs
+        )
+        est.prepare_inference(data)
+    finally:
+        fused.ENABLED = old
+    return est
+
+
+def test_fused_nystroem_prepare_matches_lazy(nystroem_data):
+    est_f = _prepare_nystroem(nystroem_data, True)
+    est_l = _prepare_nystroem(nystroem_data, False)
+    np.testing.assert_array_equal(
+        np.asarray(est_f.nn_distances), np.asarray(est_l.nn_distances)
+    )
+    assert est_f.d == est_l.d
+    # mu/ls computed inside the big fused program differ from the lazy
+    # per-attribute programs at the last f64 ulp (XLA fusion boundaries)
+    assert est_f.mu == pytest.approx(est_l.mu, rel=1e-12)
+    assert est_f.ls == pytest.approx(est_l.ls, rel=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(est_f.landmarks), np.asarray(est_l.landmarks),
+        rtol=1e-10, atol=0,
+    )
+    # same selected rank and factor; the fused core computes C inside one
+    # program (the lazy path materializes it eagerly), so allow fusion-level
+    # float differences while requiring agreement far below model noise
+    assert est_f.L.shape == est_l.L.shape
+    np.testing.assert_allclose(
+        np.asarray(est_f.L), np.asarray(est_l.L), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_f.initial_value),
+        np.asarray(est_l.initial_value),
+        rtol=1e-5,
+        atol=1e-8,
+    )
+
+
+def test_fused_nystroem_fit_predict_matches_lazy(nystroem_data):
+    old = fused.ENABLED
+    try:
+        fused.ENABLED = True
+        d1 = mellon_tpu.DensityEstimator(
+            gp_type="sparse_nystroem", n_landmarks=550, rank=0.999
+        ).fit_predict(nystroem_data)
+        fused.ENABLED = False
+        d2 = mellon_tpu.DensityEstimator(
+            gp_type="sparse_nystroem", n_landmarks=550, rank=0.999
+        ).fit_predict(nystroem_data)
+    finally:
+        fused.ENABLED = old
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4)
+
+
+def test_fused_nystroem_declines_small_m_and_custom_config(nystroem_data):
+    """m <= 512 keeps the exact-eigh lazy path; check_rank=True declines."""
+    from mellon_tpu.models.fused import maybe_fused_nystroem_prepare
+
+    est = mellon_tpu.DensityEstimator(
+        gp_type="sparse_nystroem", n_landmarks=100, rank=0.999
+    )
+    est.x = est.set_x(nystroem_data)
+    est._prepare_attribute("n_landmarks")
+    est._prepare_attribute("rank")
+    est._prepare_attribute("gp_type")
+    assert maybe_fused_nystroem_prepare(est) is False
+
+    est2 = mellon_tpu.DensityEstimator(
+        gp_type="sparse_nystroem", n_landmarks=550, rank=0.999, check_rank=True
+    )
+    est2.x = est2.set_x(nystroem_data)
+    est2._prepare_attribute("n_landmarks")
+    est2._prepare_attribute("rank")
+    est2._prepare_attribute("gp_type")
+    assert maybe_fused_nystroem_prepare(est2) is False
