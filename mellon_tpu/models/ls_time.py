@@ -346,12 +346,31 @@ def _batched_ls_time_densities(
         )
 
     z0 = ridge(L_stack, mask, mle_g - mu_t[:, None])
+    # rescued factors can be ill-conditioned enough that the f32 ridge
+    # normal equations blow up; a non-finite warm start would poison the
+    # joint L-BFGS at step 1
+    z0 = jnp.where(jnp.isfinite(z0), z0, 0.0)
 
-    res = minimize_lbfgsb(
-        _batched_density_loss,
-        jnp.ravel(z0),
-        loss_args=(L_stack, nng, mask, mu_t, jnp.asarray(d, dtype=xg.dtype)),
-    )
+    loss_args = (L_stack, nng, mask, mu_t, jnp.asarray(d, dtype=xg.dtype))
+    res = minimize_lbfgsb(_batched_density_loss, jnp.ravel(z0), loss_args=loss_args)
+    if not np.isfinite(float(res.loss)):
+        # the batched path must never hand garbage to the ls fit: retry
+        # once from the prior mean (exact for padded cells, valid init),
+        # then concede to the per-time loop
+        logger.warning(
+            "Batched ls_time L-BFGS diverged (non-finite loss); "
+            "retrying from the zero initialization."
+        )
+        res = minimize_lbfgsb(
+            _batched_density_loss, jnp.zeros_like(jnp.ravel(z0)),
+            loss_args=loss_args,
+        )
+        if not np.isfinite(float(res.loss)):
+            logger.warning(
+                "Batched ls_time fit is non-finite after the zero-init "
+                "retry; falling back to the exact per-time loop."
+            )
+            return None
     Z = res.pre_transformation.reshape(T, n_pad)
 
     @jax.jit
@@ -364,7 +383,16 @@ def _batched_ls_time_densities(
 
         return jax.lax.map(one, (xg, L_stack, Z, ls_t, mu_t))
 
-    return predict(states, xg, L_stack, Z, ls_t, mu_t)
+    dens = predict(states, xg, L_stack, Z, ls_t, mu_t)
+    if not bool(jnp.all(jnp.isfinite(dens))):
+        # the cross-time correlation of a non-finite density row would turn
+        # the whole ls_time fit into NaN; the exact loop is always valid
+        logger.warning(
+            "Batched ls_time densities are non-finite; falling back to "
+            "the exact per-time loop."
+        )
+        return None
+    return dens
 
 
 def compute_ls_time(

@@ -47,31 +47,57 @@ def run(mode, x, nn):
     return time.time() - t0, ls
 
 
-def main(d=2):
+def run_mode(d, mode):
+    """One mode's cold+warm measurement (call in a FRESH process: the two
+    modes share programs — kNN, kernels — so measuring them in one process
+    contaminates whichever runs second with the first's relay loads)."""
     from mellon_tpu.ops.neighbors import nn_distances
 
     rng = np.random.RandomState(0)
     sizes = rng.randint(1700, 2500, size=10)
-    log(f"devices: {jax.devices()}  d={d} groups={list(sizes)}")
+    log(f"devices: {jax.devices()}  d={d} mode={mode} groups={list(sizes)}")
+    xa = make_ragged_time_data(jax.random.PRNGKey(10), d, sizes)
+    nna = nn_distances(xa[:, :-1])
+    t_cold, ls_a = run(mode, xa, nna)
+    xb = make_ragged_time_data(jax.random.PRNGKey(11), d, sizes)
+    nnb = nn_distances(xb[:, :-1])
+    t_warm, ls_b = run(mode, xb, nnb)
+    log(f"{mode}: cold {t_cold:.1f}s  warm {t_warm:.1f}s  "
+        f"(ls_time {ls_a:.3f} / {ls_b:.3f})")
+    return t_cold, t_warm
+
+
+def main(d=2):
+    """Orchestrate: each mode in its own subprocess for fair cold numbers."""
+    import re
+    import subprocess
 
     results = {}
     for mode in ("batched", "loop"):
-        # cold: fresh data (different group sizes would retrace the loop
-        # path per shape; same sizes isolate program-load cost)
-        xa = make_ragged_time_data(jax.random.PRNGKey(10), d, sizes)
-        nna = nn_distances(xa[:, :-1])
-        t_cold, ls_a = run(mode, xa, nna)
-        xb = make_ragged_time_data(jax.random.PRNGKey(11), d, sizes)
-        nnb = nn_distances(xb[:, :-1])
-        t_warm, ls_b = run(mode, xb, nnb)
-        results[mode] = (t_cold, t_warm)
-        log(f"{mode}: cold {t_cold:.1f}s  warm {t_warm:.1f}s  "
-            f"(ls_time {ls_a:.3f} / {ls_b:.3f})")
-
-    bc, bw = results["batched"]
-    lc, lw = results["loop"]
-    log(f"cold speedup {lc / bc:.1f}x   warm speedup {lw / bw:.1f}x")
+        proc = subprocess.run(
+            [sys.executable, __file__, str(d), mode],
+            capture_output=True,
+            text=True,
+        )
+        sys.stderr.write(proc.stdout + proc.stderr)
+        m = re.search(
+            rf"{mode}: cold ([\d.]+)s\s+warm ([\d.]+)s", proc.stdout + proc.stderr
+        )
+        if m:
+            results[mode] = (float(m.group(1)), float(m.group(2)))
+    if len(results) == 2:
+        bc, bw = results["batched"]
+        lc, lw = results["loop"]
+        log(f"cold speedup {lc / bc:.1f}x   warm speedup {lw / bw:.1f}x")
+    else:
+        log(f"incomplete results: {results}")
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:]])
+    argv = sys.argv[1:]
+    mode = next((a for a in argv if a in ("batched", "loop")), None)
+    nums = [int(a) for a in argv if a not in ("batched", "loop")]
+    if mode is not None:
+        run_mode(nums[0] if nums else 2, mode)
+    else:
+        main(*nums)

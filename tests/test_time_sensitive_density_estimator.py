@@ -503,3 +503,45 @@ def test_batched_loss_finite_on_overflowing_latents():
         )
     )
     np.testing.assert_allclose(float(loss_fn(z_small)), ref, rtol=1e-5)
+
+
+def test_batched_ls_time_nonfinite_falls_back_to_loop(data, monkeypatch, caplog):
+    """A diverged joint L-BFGS (non-finite loss) must never leak garbage
+    densities into the ls fit: the batched path retries from zeros, then
+    concedes to the exact per-time loop (observed on TPU at the d=2 bench
+    shape where all rescued per-time factors are f32-singular)."""
+    import logging
+
+    from mellon_tpu.models import ls_time as lt
+    from mellon_tpu.ops.kernels import Matern52
+    from mellon_tpu.parameters import compute_nn_distances_within_time_points
+    from mellon_tpu.utils.validation import validate_time_x
+
+    x, times = data
+    xt = validate_time_x(x, times)
+    nn = compute_nn_distances_within_time_points(xt)
+
+    class _Diverged:
+        loss = float("nan")
+        pre_transformation = None
+
+    calls = {"n": 0}
+
+    def fake_minimize(fn, z0, loss_args=()):
+        calls["n"] += 1
+        return _Diverged()
+
+    monkeypatch.setattr(lt, "minimize_lbfgsb", fake_minimize)
+    logger = logging.getLogger("mellon_tpu")
+    logger.propagate = True  # the package config disables propagation
+    try:
+        with caplog.at_level(logging.WARNING, logger="mellon_tpu"):
+            out = lt._batched_ls_time_densities(
+                xt, nn, Matern52, {}, jnp.unique(xt[:, -1]), 0
+            )
+    finally:
+        logger.propagate = False
+    assert out is None
+    assert calls["n"] == 2  # initial attempt + zero-init retry
+    assert any("falling back to the exact per-time loop" in r.message
+               for r in caplog.records)
