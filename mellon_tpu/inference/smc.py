@@ -118,7 +118,13 @@ def _systematic_resample(key, log_w, num_particles):
     w = jnp.exp(log_w - jax.scipy.special.logsumexp(log_w))
     positions = (jnp.arange(num_particles) + jax.random.uniform(key)) / num_particles
     cumsum = jnp.cumsum(w)
-    return jnp.searchsorted(cumsum, positions)
+    # clamp: the f32 cumsum of the normalized weights can end BELOW the
+    # last position (observed 1 - 3e-7 at 256 particles), in which case
+    # searchsorted returns num_particles — an out-of-bounds gather index
+    # that jnp.take silently fills with NaN, poisoning the next stage's
+    # ESS and the evidence accumulator (observed on the 100k-cell bench)
+    idx = jnp.searchsorted(cumsum, positions)
+    return jnp.minimum(idx, num_particles - 1)
 
 
 @partial(

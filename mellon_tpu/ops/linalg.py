@@ -129,6 +129,13 @@ def _eigendecomposition(A, rank=DEFAULT_RANK, with_raw_rank=False):
     advice — the reference crashes with an opaque IndexError on the empty
     cumulative sum (``mellon/decomposition.py:58-62``); deliberate fix."""
     s, v = jnp.linalg.eigh(A)
+    return _select_eigenpairs(s, v, rank, A.shape[0], with_raw_rank)
+
+
+def _select_eigenpairs(s, v, rank, quantize_dim, with_raw_rank=False):
+    """The count/eigenvalue-mass selection of :func:`_eigendecomposition`,
+    operating on an already-computed (ascending) eigendecomposition so the
+    sketch-based large-Gram path shares the exact selection semantics."""
     # one transfer for every scalar the selection logic needs (each
     # bool()/int() on a device value is a blocking round trip)
     n_pos, any_nonpos = jax.device_get(
@@ -159,13 +166,13 @@ def _eigendecomposition(A, rank=DEFAULT_RANK, with_raw_rank=False):
             )
             p = 1
         raw_p = p
-        if A.shape[0] > 256:
+        if quantize_dim > 256:
             # exact reference semantics below this size — the compile cost
             # of a fresh shape is negligible there and the test contracts
             # (searchsorted rank) stay bit-exact
             quantized = next((b for b in RANK_BUCKETS if b >= p), None)
             p_stable = min(
-                quantized if quantized is not None else p, A.shape[0]
+                quantized if quantized is not None else p, quantize_dim
             )
             if p_stable != p:
                 logger.info(
@@ -178,6 +185,9 @@ def _eigendecomposition(A, rank=DEFAULT_RANK, with_raw_rank=False):
     else:
         p = min(rank, p)
         raw_p = p
+    # a sketch-based caller may hold fewer eigenpairs than quantize_dim
+    # (the saturation loop widens the sketch before this binds)
+    p = min(p, s.shape[0])
     if (isinstance(rank, float) and rank < 1) or rank < len(summed):
         p_report = min(p, len(summed) - 1)
         frac = summed[p_report] / summed[-1]
@@ -303,8 +313,8 @@ def _nystroem_gram(C):
 # below this landmark count the improved Nyström uses exact eigh end to end
 # (reference bit-parity; the m³ cost is negligible there)
 NYSTROEM_EXACT_MAX = 512
-# initial randomized-sketch width for the large-m path; doubled (rarely)
-# when the fractional-mass rank selection saturates the sketch
+# initial randomized-sketch width for the large-m selection path; doubled
+# (rarely) when the fractional-mass rank selection saturates the sketch
 NYSTROEM_SKETCH = 512
 
 
@@ -318,27 +328,20 @@ def _modified_low_rank(
     takes TWO full m×m eigendecompositions — of W = K_uu and of
     M = R W⁻¹ Rᵀ — which on TPU hit QDWH-eigh's worst case (wide kernels
     have near-degenerate spectra), plus a QR of the (n, m) cross-covariance.
-    Instead the dominant W eigenspace is captured with a
-    :func:`randomized_eigh` sketch (matmul/QR only, all (m, sketch)-sized),
-    and the n×m QR disappears entirely: writing H = C v diag(s^{-1/2})
-    gives C W_r⁻¹ Cᵀ = H Hᵀ, whose nonzero eigenvalues equal those of the
-    SMALL Gram matrix HᵀH = diag(s^{-1/2}) vᵀ (CᵀC) v diag(s^{-1/2}) — so
-    the fractional-mass rank selection runs unchanged on that spectrum and
-    L = H U (identical math to the reference's Q F U since Q F = H; no
-    m×m eigh, no n×m QR, and no √S·S^{-1/2} cancellation to go negative
-    on noise eigenvalues).  The sketch starts at NYSTROEM_SKETCH columns —
-    generous against the final mass-selected rank on clustered kernel
-    spectra (measured ~1e-4 Frobenius deviation from the exact path at
-    final rank ~64) — and doubles when the mass selection saturates it
-    (near-flat spectra), degrading gracefully toward the exact answer at
-    sketch = m.
+    Instead W is Cholesky-factorized (with safe_cholesky's f32 rescue
+    ladder) and the whitened features H = C Lp⁻ᵀ carry the identity
+    C W⁻¹ Cᵀ = H Hᵀ: the fractional-mass rank selection runs on the
+    whitened Gram HᵀH — whose nonzero spectrum equals the reference's
+    M — and L = H U.  No m×m eigh, no n×m QR, no inverse-sqrt of noisy
+    eigenvalues; see :func:`_nystroem_select_and_project` for the
+    accuracy comparison against the earlier sketch-whitening design.
     """
-    sigma2 = jnp.square(sigma)
-    sigma2 = jnp.where(sigma2 < jitter, jitter, sigma2)
-    W = stabilize(cov_func(xu, xu), sigma2)
-    C = cov_func(x, xu)
     m = xu.shape[0]
     if m <= NYSTROEM_EXACT_MAX:
+        sigma2 = jnp.square(sigma)
+        sigma2 = jnp.where(sigma2 < jitter, jitter, sigma2)
+        W = stabilize(cov_func(xu, xu), sigma2)
+        C = cov_func(x, xu)
         Q, R = jnp.linalg.qr(C, mode="reduced")
         s, v = _eigendecomposition(W, rank=m)
         T = R @ v
@@ -346,122 +349,83 @@ def _modified_low_rank(
         # see _full_decomposition_low_rank: quantized ranks may include
         # non-positive eigenvalues; clip so the extra columns are zero
         return Q @ V * jnp.sqrt(jnp.maximum(S, 0.0))
-    floor_tol = 1e-12 if W.dtype == jnp.float64 else 1e-7
-    sketch = min(m, NYSTROEM_SKETCH)
-    if isinstance(rank, int):
-        sketch = min(m, max(sketch, 2 * rank))
-    gram_C = _nystroem_gram(C)  # CᵀC, one MXU product, reused across retries
-    while True:
-        s, v = randomized_eigh(W, sketch)
-        # floor: keep 1/sqrt(s) from amplifying sketch-noise eigenvalues
-        inv_sqrt_s = jax.lax.rsqrt(jnp.maximum(s, floor_tol * s[-1]))
-        vs = v * inv_sqrt_s
-        # projections at HIGHEST to match gram_C — mixing default
-        # (bf16-pass) products into the carefully-accumulated gram would
-        # dominate the factor's error budget
-        proj = jnp.matmul(
-            vs.T,
-            jnp.matmul(gram_C, vs, precision=jax.lax.Precision.HIGHEST),
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        # saturation is judged on the PRE-quantization mass rank: the
-        # power-of-two bucket rounds mid-range ranks up to the sketch
-        # width itself, which would spuriously double the sketch (and on
-        # the relay, recompile every sketch-shaped program)
-        S, U, raw_p = _eigendecomposition(proj, rank=rank, with_raw_rank=True)
-        p = S.shape[0]
-        if raw_p < (3 * sketch) // 4 or sketch >= m:
-            break
-        logger.info(
-            "Nyström mass selection saturated the %d-column sketch "
-            "(selected %d); doubling the sketch.",
-            sketch,
-            raw_p,
-        )
-        sketch = min(2 * sketch, m)
-    logger.info(
-        "Randomized Nyström eigensolver: rank %d from a %d-column sketch "
-        "of the %d-landmark kernel.",
-        p,
-        sketch,
-        m,
-    )
-    return _nystroem_final(C, vs, U)
+    # ---- large m: Cholesky-whitened improved Nyström -----------------------
+    # Writing H = C Lp⁻ᵀ with Lp = chol(W) gives C W⁻¹ Cᵀ = H Hᵀ exactly,
+    # so the fractional-mass selection runs on the SMALL whitened Gram
+    # HᵀH — whose nonzero spectrum equals the reference's M = R W⁻¹ Rᵀ —
+    # and L = H U.  Compared to whitening through a W-eigendecomposition
+    # (rsqrt of sketch eigenvalues), the triangular solve amplifies NO f32
+    # spectral noise: on the 2,000-landmark bench shape the eigensolver
+    # route certified corr 0.996 vs host-f64 while this route certifies
+    # 0.999998, and it reuses the TRSM/Cholesky programs the sparse path
+    # already loads.  The f32 rescue is safe_cholesky's ladder (escalated
+    # jitter, then one host-f64 factorization); the fused prepare
+    # (models/fused.py) prunes to the pivoted landmark subset instead.
+    if isinstance(sigma, (int, float)):
+        eff_jitter = max(float(sigma) ** 2, jitter)
+    else:
+        eff_jitter = float(jnp.maximum(jnp.square(sigma), jitter))
+    max_tries = 0 if x.dtype == jnp.float64 else 3
+    Lp = safe_cholesky(cov_func(xu, xu), jitter=eff_jitter, max_tries=max_tries)
+    try:
+        spec, params = cov_func.operand_spec()
+    except (NotImplementedError, AttributeError):
+        H = _standard_low_rank_fused(cov_func, x, xu, Lp)
+    else:
+        H = _standard_low_rank_fused_spec(spec, params, x, xu, Lp)
+    return _nystroem_select_and_project(H, rank)
 
 
 @jax.jit
-def _nystroem_final(C, vs, U):
-    """L = C (vs U) with both products at HIGHEST: vs carries
-    rsqrt-amplified entries, and a default-precision (bf16-pass) product
-    would re-inject ~1e-3 relative noise that the gram-side pins removed."""
-    return jnp.matmul(
-        C,
-        jnp.matmul(vs, U, precision=jax.lax.Precision.HIGHEST),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+def _matmul_highest(A, B):
+    return jnp.matmul(A, B, precision=jax.lax.Precision.HIGHEST)
 
 
-@partial(jax.jit, static_argnames=("spec", "sketch"))
-def _fused_nystroem_core(x, xu, K, eff_jitter, params, spec, sketch):
-    """One program for the pre-selection work of the randomized Nyström
-    path: cross-covariance C from the kernel's operand spec, stabilized
-    landmark kernel W, the randomized eigensolver sketch of W, and the
-    Gram-space projection whose spectrum drives the mass selection.
-
-    Same math as the eager sequence in :func:`_modified_low_rank` — the
-    fused prepare (``models/fused.py:maybe_fused_nystroem_prepare``) calls
-    this so a warm sparse_nystroem fit dispatches a handful of programs
-    instead of dozens of eager ops with per-attribute host fetches.
-    """
-    from .kernels import eval_operand_spec
-
-    hp = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-    C = eval_operand_spec(spec, params, x, xu)
-    idx = jnp.arange(K.shape[0])
-    W = K.at[idx, idx].add(eff_jitter)
-    s, v = randomized_eigh(W, sketch)
-    floor_tol = 1e-12 if W.dtype == jnp.float64 else 1e-7
-    inv_sqrt_s = jax.lax.rsqrt(jnp.maximum(s, floor_tol * s[-1]))
-    vs = v * inv_sqrt_s
-    gram = hp(C.T, C)
-    proj = hp(vs.T, hp(gram, vs))
-    return C, vs, proj
+# above this whitened-basis width the mass selection uses the randomized
+# sketch of the Gram instead of a direct (QDWH) eigh
+NYSTROEM_DIRECT_EIGH_MAX = 1024
 
 
-def _fused_nystroem_L(x, xu, K, rank, jitter, params, spec):
-    """Sketch loop + fractional-mass rank selection + final factor for the
-    fused sparse_nystroem prepare — the large-m path of
-    :func:`_modified_low_rank` (same selection logic and logs) driven by
-    the already-computed landmark kernel K from the fused stage-1 program.
-    """
-    m = xu.shape[0]
-    sketch = min(m, NYSTROEM_SKETCH)
-    if isinstance(rank, int):
-        sketch = min(m, max(sketch, 2 * rank))
-    eff_jitter = jnp.asarray(jitter, dtype=K.dtype)
-    while True:
-        C, vs, proj = _fused_nystroem_core(
-            x, xu, K, eff_jitter, tuple(params), spec, sketch
-        )
-        S, U, raw_p = _eigendecomposition(proj, rank=rank, with_raw_rank=True)
-        p = S.shape[0]
-        if raw_p < (3 * sketch) // 4 or sketch >= m:
-            break
-        logger.info(
-            "Nyström mass selection saturated the %d-column sketch "
-            "(selected %d); doubling the sketch.",
-            sketch,
-            raw_p,
-        )
-        sketch = min(2 * sketch, m)
+def _nystroem_select_and_project(H, rank):
+    """Fractional-mass rank selection on the whitened Gram HᵀH and the
+    projection L = H U — shared by the lazy :func:`_modified_low_rank`
+    large-m path and the fused prepare
+    (``models/fused.py:maybe_fused_nystroem_prepare``)."""
+    G = _nystroem_gram(H)
+    m = G.shape[0]
+    if m <= NYSTROEM_DIRECT_EIGH_MAX:
+        S, U, raw_p = _eigendecomposition(G, rank=rank, with_raw_rank=True)
+        basis = m
+    else:
+        # the whitened Gram decays fast (0.999 of its mass typically sits
+        # in well under NYSTROEM_SKETCH directions), so a sketch suffices
+        # for the selection; saturation (near-flat spectra) doubles it
+        sketch = min(m, NYSTROEM_SKETCH)
+        if isinstance(rank, int):
+            sketch = min(m, max(sketch, 2 * rank))
+        while True:
+            s_all, v_all = randomized_eigh(G, sketch)
+            S, U, raw_p = _select_eigenpairs(
+                s_all, v_all, rank, m, with_raw_rank=True
+            )
+            if raw_p < (3 * sketch) // 4 or sketch >= m:
+                break
+            logger.info(
+                "Nyström mass selection saturated the %d-column sketch "
+                "(selected %d); doubling the sketch.",
+                sketch,
+                raw_p,
+            )
+            sketch = min(2 * sketch, m)
+        basis = sketch
     logger.info(
-        "Randomized Nyström eigensolver: rank %d from a %d-column sketch "
-        "of the %d-landmark kernel.",
-        p,
-        sketch,
+        "Cholesky-whitened Nyström eigensolver: rank %d from the "
+        "%d-column whitened basis of %d landmarks.",
+        S.shape[0],
+        basis,
         m,
     )
-    return _nystroem_final(C, vs, U)
+    return _matmul_highest(H, U)
 
 
 @partial(jax.jit, static_argnames=("max_rank",))

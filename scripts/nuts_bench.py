@@ -114,9 +114,14 @@ def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2,
     V5E_PEAK_BF16_FLOPS = 197e12  # MXU peak (f32 storage runs bf16 passes)
     V5E_HBM_BYTES_S = 819e9
     lf_per_draw = total_leapfrogs / max(total_draws, 1)
+    # chain-leapfrogs: every chain's matvec column costs FLOPs...
     est_leapfrogs = lf_per_draw * (num_warmup + num_samples) * num_chains
+    # ...but chains execute in LOCKSTEP inside the vmapped tree, so L is
+    # read from HBM once per JOINT leapfrog (the (n,m)x(m,chains) matmul
+    # shares the pass) — bytes divide by the chain count
+    joint_leapfrogs = est_leapfrogs / num_chains
     flops = 4.0 * n * m * est_leapfrogs
-    bytes_moved = 2.0 * n * m * L.dtype.itemsize * est_leapfrogs
+    bytes_moved = 2.0 * n * m * L.dtype.itemsize * joint_leapfrogs
     achieved_flops = flops / t_total
     achieved_bw = bytes_moved / t_total
     ai = flops / bytes_moved  # FLOP/byte; MXU ridge is ~240 at bf16

@@ -1,7 +1,10 @@
 """Per-stage breakdown of the fused sparse_nystroem warm fit at the
-baseline-matrix shape (8,627 x 20, m=2000, rank=0.999) — locates the cost
-that keeps the row below the 5x bar (suspects: TPU QDWH eigh and
-Householder QR inside the randomized eigensolver).
+baseline-matrix shape (8,627 x 20, m=2000, rank=0.999).
+
+The factorization is the Cholesky-whitened Nyström (H = C Lp^-T, mass
+selection on H^T H); this script times each stage plus the isolated
+TPU-suspect ops (QDWH eigh, Householder QR) so future regressions are
+attributable.
 
 Usage: python scripts/profile_nystroem.py
 """
@@ -35,9 +38,10 @@ def main():
     )
     from mellon_tpu.ops.linalg import (
         _eigendecomposition,
-        _fused_nystroem_core,
-        _nystroem_final,
+        _nystroem_gram,
+        _standard_low_rank_fused_spec,
         randomized_eigh,
+        safe_cholesky,
     )
 
     log(f"devices: {jax.devices()}")
@@ -48,48 +52,60 @@ def main():
     key = jax.random.PRNGKey(42)
 
     out = timed(
-        "stage1 (kNN+heuristics+kmeans+K)",
+        "stage1 (kNN+heuristics+kmeans+K+chol/pivot)",
         lambda: _fused_sparse_prepare_program(
             x, key, 1e-6, 1.0, spec, k, d, None,
             int(min(DEFAULT_BATCH_SIZE, n)), int(min(DEFAULT_ASSIGN_BLOCK, n)),
         ),
     )
-    nn, *_rest = out
-    ls = out[6]
-    xu, K = out[7], out[8]
-    ls_f = float(ls)
+    ls = float(out[6])
+    xu, K, Lp, ok, piv, r = out[7], out[8], out[9], out[10], out[11], out[12]
+    log(f"stage1 chol ok={bool(ok)} pivot r={int(r)}")
 
-    core = timed(
-        "nystroem core (C+W+sketch+proj)",
-        lambda: _fused_nystroem_core(
-            x, xu, K, jnp.asarray(1e-6, K.dtype), (ls_f,), spec, 512
-        ),
+    if bool(ok):
+        xu_sel, Lp_sel = xu, Lp
+    else:
+        import numpy as np
+        from mellon_tpu.ops.linalg import RANK_BUCKETS
+
+        rr = int(r)
+        buckets = [b for b in RANK_BUCKETS if b <= rr]
+        if buckets:
+            rr = buckets[-1]
+        piv_arr = jnp.asarray(np.asarray(piv[:rr]), dtype=jnp.int32)
+        xu_sel = xu[piv_arr]
+        Lp_sel = timed(
+            "prune submatrix safe_cholesky",
+            lambda: safe_cholesky(K[piv_arr][:, piv_arr], jitter=1e-6, max_tries=3),
+        )
+
+    H = timed(
+        "TRSM H = C Lp^-T (shared sparse program)",
+        lambda: _standard_low_rank_fused_spec(spec, (ls,), x, xu_sel, Lp_sel),
     )
-    C, vs, proj = core
+    G = timed("whitened gram H^T H", _nystroem_gram, H)
 
-    # inner suspects, isolated
-    W = K + 1e-6 * jnp.eye(K.shape[0], dtype=K.dtype)
-    timed("randomized_eigh(W, 512) [3 QRs + eigh528]",
-          lambda: randomized_eigh(W, 512))
-    omega = jax.random.normal(jax.random.PRNGKey(0), (k, 528), dtype=K.dtype)
-    timed("one W @ omega product",
+    t0 = time.time()
+    S, U, raw_p = _eigendecomposition(G, rank=0.999, with_raw_rank=True)
+    log(f"_eigendecomposition(G {G.shape[0]}x{G.shape[0]}) incl. host syncs: "
+        f"{(time.time()-t0)*1e3:.1f} ms (first), raw rank {raw_p}")
+    t0 = time.time()
+    S, U, raw_p = _eigendecomposition(G, rank=0.999, with_raw_rank=True)
+    log(f"_eigendecomposition(G) warm: {(time.time()-t0)*1e3:.1f} ms")
+
+    timed("final factor H @ U",
           jax.jit(lambda A, B: jnp.matmul(A, B, precision=jax.lax.Precision.HIGHEST)),
-          W, omega)
-    timed("one QR(2000x528)", jax.jit(lambda A: jnp.linalg.qr(A)[0]), W @ omega)
-    timed("one eigh(528x528)", jax.jit(jnp.linalg.eigh), proj)
+          H, U)
 
-    t0 = time.time()
-    S, U, raw_p = _eigendecomposition(proj, rank=0.999, with_raw_rank=True)
-    log(f"_eigendecomposition(proj) incl. host syncs: "
-        f"{(time.time()-t0)*1e3:.1f} ms (first call)")
-    t0 = time.time()
-    S, U, raw_p = _eigendecomposition(proj, rank=0.999, with_raw_rank=True)
-    log(f"_eigendecomposition(proj) incl. host syncs: "
-        f"{(time.time()-t0)*1e3:.1f} ms (warm)")
+    # isolated TPU suspects at representative shapes
+    timed(f"QDWH eigh({G.shape[0]}x{G.shape[0]})",
+          jax.jit(jnp.linalg.eigh), G)
+    timed("randomized_eigh(K 2000^2, 512) [QRs + eigh528]",
+          lambda: randomized_eigh(K, 512))
+    A = jax.random.normal(jax.random.PRNGKey(0), (2000, 528), dtype=K.dtype)
+    timed("one QR(2000x528)", jax.jit(lambda M: jnp.linalg.qr(M)[0]), A)
 
-    timed("final factor C @ (vs U)", _nystroem_final, C, vs, U)
-
-    # end-to-end fused fit for the same shape, for cross-checking the sum
+    # end-to-end fused fit for the same shape, cross-checking the sum
     import mellon_tpu
 
     def fit(seed):

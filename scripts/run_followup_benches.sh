@@ -20,3 +20,11 @@ run() {
 
 run debug_ls_time   python scripts/debug_ls_time_nan.py
 run profile_nystroem python scripts/profile_nystroem.py
+run nystroem2       python scripts/nystroem_recheck.py
+run smc2            python scripts/smc_bench.py
+run ls_time_d2b     python scripts/ls_time_bench.py 2
+run ls_time_d20b    python scripts/ls_time_bench.py 20
+# ESS/s + roofline at the chain widths of the north-star table
+run nuts_c8         python scripts/nuts_bench.py 100000 5000 60 60 8
+run nuts_c32        python scripts/nuts_bench.py 100000 5000 60 60 32
+run nuts_c128       python scripts/nuts_bench.py 100000 5000 60 60 128

@@ -269,3 +269,57 @@ def test_smc_terminates_at_beta_one_on_peaked_posterior():
     terminal_ess = 1.0 / np.sum(np.exp(2 * norm))
     assert 1.0 <= terminal_ess <= 1024.0
     assert terminal_ess == pytest.approx(res.ess_history[-1], rel=1e-3)
+
+
+def test_systematic_resample_indices_always_in_range():
+    """The f32 cumsum of normalized weights can end below the last
+    systematic position (~1 - 3e-7 at 256 particles); searchsorted then
+    returns num_particles — an out-of-bounds gather index that jnp.take
+    silently fills with NaN (observed: NaN particles/ESS/evidence on the
+    100k-cell SMC bench).  Indices must be clamped into range for every
+    draw of the positioning uniform."""
+    from mellon_tpu.inference.smc import _systematic_resample
+
+    P = 256
+    # realistic spread weights (the failing case: dbeta * log_lik)
+    log_w = jnp.asarray(
+        np.linspace(-21651.0, -21194.0, P)[np.random.RandomState(0).permutation(P)],
+        dtype=jnp.float32,
+    )
+
+    @jax.jit
+    def max_idx(key):
+        return jnp.max(_systematic_resample(key, log_w, P))
+
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(20000))
+    worst = int(jnp.max(jax.vmap(max_idx)(keys)))
+    assert worst <= P - 1
+
+    # and with fully-degenerate weights (single surviving particle)
+    log_w2 = jnp.full((P,), -jnp.inf).at[3].set(0.0)
+    idx = _systematic_resample(jax.random.PRNGKey(1), log_w2, P)
+    assert int(jnp.max(idx)) <= P - 1
+    np.testing.assert_array_equal(np.asarray(idx), np.full(P, 3))
+
+
+def test_smc_finite_evidence_on_large_peaked_model():
+    """Evidence and ESS history stay finite on a larger density-model
+    posterior where forced tempering steps and particle degeneracy are
+    routine (regression for the resampling NaN)."""
+    from mellon_tpu.inference.losses import density_loss
+    from mellon_tpu.inference.smc import loglik_from_loss, run_smc
+
+    n, m, P = 5000, 64, 128
+    key = jax.random.PRNGKey(0)
+    L = jax.random.normal(key, (n, m)) / jnp.sqrt(m)
+    nn = 0.05 + 0.3 * jax.random.uniform(jax.random.fold_in(key, 1), (n,))
+    loglik = loglik_from_loss(density_loss)
+    res = run_smc(
+        loglik, m, jax.random.PRNGKey(2), num_particles=P,
+        num_mutation_steps=3, num_leapfrog_steps=4, max_stages=30,
+        loglik_args=(L, nn, jnp.asarray(20.0), jnp.asarray(-10.0)),
+    )
+    assert res.betas[-1] == 1.0
+    assert np.isfinite(float(res.log_evidence))
+    assert np.isfinite(np.asarray(res.ess_history)).all()
+    assert np.isfinite(np.asarray(res.particles)).all()
