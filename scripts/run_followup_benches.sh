@@ -18,6 +18,9 @@ run() {
   echo "=== $name: exit $? ($(date +%H:%M:%S)) ==="
 }
 
+run probe2          python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones(3))))"
+# first run died to a relay-internal error mid-suite; retry
+run tpu_tests2      env MELLON_TPU_TESTS=1 python -m pytest tests/test_tpu_contracts.py -m tpu -q
 run debug_ls_time   python scripts/debug_ls_time_nan.py
 run profile_nystroem python scripts/profile_nystroem.py
 run nystroem2       python scripts/nystroem_recheck.py
