@@ -21,6 +21,7 @@ ragged group sizes all share one padded executable.
 """
 
 import logging
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -268,13 +269,22 @@ def _batched_ls_time_densities(
 
     @jax.jit
     def ridge(L_stack, mask, target):
-        # masked ridge warm start: (LᵀWL + I) z = LᵀW (mle − mu)
+        # masked ridge warm start: (LᵀWL + I) z = LᵀW (mle − mu).
+        # HIGHEST-precision Gram + Cholesky solve: the default bf16-pass
+        # Gram fed to the TPU LU solve returned NaN for host-f64-rescued
+        # factors (localized by scripts/debug_ls_time_nan.py — the host
+        # f64 ridge on the same operands is clean), which poisoned the
+        # joint L-BFGS at step 1
+        hp = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
         def one(L_t, mask_t, target_t):
             Lw = L_t * mask_t[:, None]
-            G = Lw.T @ (L_t * mask_t[:, None])
+            G = hp(Lw.T, Lw)
             diag = jnp.arange(G.shape[0])
-            rhs = Lw.T @ (target_t * mask_t)
-            return jnp.linalg.solve(G.at[diag, diag].add(1.0), rhs)
+            rhs = hp(Lw.T, target_t * mask_t)
+            c = jnp.linalg.cholesky(G.at[diag, diag].add(1.0))
+            y = solve_triangular(c, rhs, lower=True)
+            return solve_triangular(c.T, y, lower=False)
 
         return jax.vmap(one)(L_stack, mask, target)
 

@@ -89,7 +89,31 @@ def main():
     z0_fin, z0_max = jax.device_get(
         (jnp.isfinite(z0).all(), jnp.abs(z0).max())
     )
-    log(f"z0 (TPU ridge): finite={bool(z0_fin)} absmax={float(z0_max):.3e}")
+    log(f"z0 (TPU ridge, OLD bf16-pass LU): finite={bool(z0_fin)} "
+        f"absmax={float(z0_max):.3e}")
+
+    # the shipped fix: HIGHEST-precision Gram + Cholesky solve
+    def ridge_chol(L_t, mask_t, target_t):
+        from functools import partial as _p
+
+        hp = _p(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+        Lw = L_t * mask_t[:, None]
+        G = hp(Lw.T, Lw)
+        di = jnp.arange(G.shape[0])
+        rhs = hp(Lw.T, target_t * mask_t)
+        from jax.scipy.linalg import solve_triangular
+
+        c = jnp.linalg.cholesky(G.at[di, di].add(1.0))
+        return solve_triangular(
+            c.T, solve_triangular(c, rhs, lower=True), lower=False
+        )
+
+    z0c = jax.jit(jax.vmap(ridge_chol))(Lj, maskj, mle_g - mu_t[:, None])
+    z0c_fin, z0c_max = jax.device_get(
+        (jnp.isfinite(z0c).all(), jnp.abs(z0c).max())
+    )
+    log(f"z0 (TPU ridge, NEW HIGHEST+chol): finite={bool(z0c_fin)} "
+        f"absmax={float(z0c_max):.3e}")
 
     dj = jnp.asarray(d, jnp.float32)
     loss0 = jax.jit(lt._batched_density_loss)(
