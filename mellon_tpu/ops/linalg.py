@@ -107,7 +107,9 @@ def safe_cholesky(K, jitter=DEFAULT_JITTER, max_tries=0):
     return L
 
 
-def _eigendecomposition(A, rank=DEFAULT_RANK, with_raw_rank=False):
+def _eigendecomposition(
+    A, rank=DEFAULT_RANK, with_raw_rank=False, force_quantize=False
+):
     """Top-eigenpair selection keeping a given count or eigenvalue-mass
     fraction (parity: ``mellon/decomposition.py:23-76``).
 
@@ -129,13 +131,24 @@ def _eigendecomposition(A, rank=DEFAULT_RANK, with_raw_rank=False):
     advice — the reference crashes with an opaque IndexError on the empty
     cumulative sum (``mellon/decomposition.py:58-62``); deliberate fix."""
     s, v = jnp.linalg.eigh(A)
-    return _select_eigenpairs(s, v, rank, A.shape[0], with_raw_rank)
+    return _select_eigenpairs(
+        s, v, rank, A.shape[0], with_raw_rank, force_quantize
+    )
 
 
-def _select_eigenpairs(s, v, rank, quantize_dim, with_raw_rank=False):
+def _select_eigenpairs(
+    s, v, rank, quantize_dim, with_raw_rank=False, force_quantize=False
+):
     """The count/eigenvalue-mass selection of :func:`_eigendecomposition`,
     operating on an already-computed (ascending) eigendecomposition so the
-    sketch-based large-Gram path shares the exact selection semantics."""
+    sketch-based large-Gram path shares the exact selection semantics.
+
+    ``force_quantize`` buckets fractional-rank selections to powers of two
+    even when ``quantize_dim`` ≤ 256 — the Nyström path uses it because a
+    data-dependent selected rank changes L's column count and forces a
+    fresh compile + program load of every downstream executable per fit
+    (observed: three 'warm' fits each paying seconds of relay loads for
+    ranks 48/53/64 out of a pruned 256-landmark basis)."""
     # one transfer for every scalar the selection logic needs (each
     # bool()/int() on a device value is a blocking round trip)
     n_pos, any_nonpos = jax.device_get(
@@ -166,7 +179,7 @@ def _select_eigenpairs(s, v, rank, quantize_dim, with_raw_rank=False):
             )
             p = 1
         raw_p = p
-        if quantize_dim > 256:
+        if force_quantize or quantize_dim > 256:
             # exact reference semantics below this size — the compile cost
             # of a fresh shape is negligible there and the test contracts
             # (searchsorted rank) stay bit-exact
@@ -394,7 +407,9 @@ def _nystroem_select_and_project(H, rank):
     G = _nystroem_gram(H)
     m = G.shape[0]
     if m <= NYSTROEM_DIRECT_EIGH_MAX:
-        S, U, raw_p = _eigendecomposition(G, rank=rank, with_raw_rank=True)
+        S, U, raw_p = _eigendecomposition(
+            G, rank=rank, with_raw_rank=True, force_quantize=True
+        )
         basis = m
     else:
         # the whitened Gram decays fast (0.999 of its mass typically sits
@@ -406,7 +421,7 @@ def _nystroem_select_and_project(H, rank):
         while True:
             s_all, v_all = randomized_eigh(G, sketch)
             S, U, raw_p = _select_eigenpairs(
-                s_all, v_all, rank, m, with_raw_rank=True
+                s_all, v_all, rank, m, with_raw_rank=True, force_quantize=True
             )
             if raw_p < (3 * sketch) // 4 or sketch >= m:
                 break

@@ -16,14 +16,23 @@ from _common import jax, log  # noqa: F401  (repo path + compile cache)
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """True host synchronization: the relay's block_until_ready can return
+    before execution completes (see nuts_bench), so fetch one element of
+    every output leaf."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        arr = jnp.ravel(leaf) if getattr(leaf, "ndim", 0) > 0 else leaf
+        jax.device_get(arr[:1] if getattr(arr, "ndim", 0) else arr)
+
+
 def timed(name, fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(reps):
         t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append(time.time() - t0)
     log(f"{name}: {min(times)*1e3:.1f} ms (min of {reps})")
     return out
@@ -120,6 +129,24 @@ def main():
     t0 = time.time()
     fit(6)
     log(f"fit_predict warm: {time.time()-t0:.1f}s")
+
+    # fit-phase breakdown (the factorization stages above account for well
+    # under a second; this locates the rest of the warm fit)
+    xw = make_data(jax.random.PRNGKey(7), n, d)
+    xw.block_until_ready()
+    est = mellon_tpu.DensityEstimator(
+        gp_type="sparse_nystroem", rank=0.999, n_landmarks=k
+    )
+    t0 = time.time(); est.prepare_inference(xw)
+    log(f"phase prepare_inference: {time.time()-t0:.2f}s")
+    t0 = time.time(); est.run_inference()
+    log(f"phase run_inference (L-BFGS): {time.time()-t0:.2f}s")
+    t0 = time.time(); est.process_inference(build_predict=False)
+    log(f"phase process_inference (density): {time.time()-t0:.2f}s")
+    t0 = time.time(); pred = est.predict
+    log(f"phase predictor build: {time.time()-t0:.2f}s")
+    t0 = time.time(); pred(xw).block_until_ready()
+    log(f"phase predict eval @ {n}: {time.time()-t0:.2f}s")
 
 
 if __name__ == "__main__":
