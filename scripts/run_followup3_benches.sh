@@ -1,0 +1,22 @@
+#!/bin/bash
+# Round-3 follow-up #3: clean re-measures of rows contaminated by host-CPU
+# contention (ls_time d=20) and the quantized-rank nystroem steady state.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/benchlogs
+HASH="$(git rev-parse --short HEAD 2>/dev/null || echo unknown)"
+
+run() {
+  name="$1"; shift
+  echo "=== $name: $* (started $(date +%H:%M:%S)) ==="
+  {
+    echo "commit: $HASH"
+    echo "cmd: $*"
+    echo "started: $(date -Is)"
+  } > "/tmp/benchlogs/$name.log"
+  timeout 1800 "$@" >> "/tmp/benchlogs/$name.log" 2>&1
+  echo "=== $name: exit $? ($(date +%H:%M:%S)) ==="
+}
+
+run ls_time_d20c    python scripts/ls_time_bench.py 20
+run nystroem3       python scripts/nystroem_recheck.py
