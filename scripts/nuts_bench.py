@@ -121,7 +121,13 @@ def main(n=100_000, m=5_000, num_warmup=60, num_samples=60, num_chains=2,
     # shares the pass) — bytes divide by the chain count
     joint_leapfrogs = est_leapfrogs / num_chains
     flops = 4.0 * n * m * est_leapfrogs
-    bytes_moved = 2.0 * n * m * L.dtype.itemsize * joint_leapfrogs
+    # default-precision f32 matmuls run ONE bf16 pass on the MXU and XLA
+    # hoists the f32->bf16 conversion of the loop-invariant L out of the
+    # scan, so the steady-state loop streams 2 bytes/element regardless of
+    # the storage dtype (with f32-per-pass bytes the measured rate exceeds
+    # the HBM peak, which is physically impossible)
+    stream_itemsize = min(L.dtype.itemsize, 2)
+    bytes_moved = 2.0 * n * m * stream_itemsize * joint_leapfrogs
     achieved_flops = flops / t_total
     achieved_bw = bytes_moved / t_total
     ai = flops / bytes_moved  # FLOP/byte; MXU ridge is ~240 at bf16
