@@ -59,9 +59,16 @@ _BATCHABLE_KEYS = {
 # transfer that made the all-groups rescue slower than the per-time loop
 def _host_radial(profile):
     def core(x, ls):
-        sq = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
         import numpy as np
 
+        # matmul distance form: the coordinate-difference tensor would
+        # materialize (n, n, d) f64 — ~1 GB per 2.4k-cell group at d=20,
+        # which made the all-groups rescue the dominant cost of the
+        # batched d=20 warm fit.  In f64 the cancellation that rules this
+        # form out on the f32 device path is harmless (the kernel values
+        # are consumed at f32 downstream).
+        sq_norms = np.sum(x * x, axis=1)
+        sq = sq_norms[:, None] + sq_norms[None, :] - 2.0 * (x @ x.T)
         return profile(np.sqrt(np.maximum(sq, 0.0)) / ls)
 
     return core
