@@ -17,6 +17,17 @@ import jax.numpy as jnp
 
 DEFAULT_JITTER = 1e-6
 
+# f32 landmark-pruning policy.  When the landmark kernel is numerically
+# singular at f32 the default prunes to the pivoted-Cholesky subset (every
+# downstream O(n·m) op shrinks, executables stay small).  Setting this to
+# False keeps ALL landmarks and factorizes the full kernel once on the
+# host in float64 instead — full reference capacity at f32 storage, at
+# the cost of the larger factorization and a host round trip.  Relevant
+# when the kernel's f32 rank is far below the landmark count and the
+# pruned model visibly under-resolves (e.g. the 98k-cell d=2 time-series
+# shape, PERFORMANCE.md "Fidelity disclosure").
+PRUNE_SINGULAR_LANDMARKS = True
+
 
 def default_float():
     """Return the active default float dtype (f64 iff jax x64 is enabled)."""

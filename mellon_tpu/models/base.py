@@ -329,6 +329,29 @@ class BaseEstimator:
 
         if bool(ok):
             return L
+        from .. import config
+
+        if not config.PRUNE_SINGULAR_LANDMARKS:
+            # full capacity deliberately skips jitter escalation (an
+            # escalated-jitter "success" would inflate the model): go
+            # straight to the host-f64 factorization
+            import numpy as np
+            import jax.numpy as jnp
+
+            from ..ops.linalg import host_cholesky_f64
+
+            logger.warning(
+                "Landmark kernel is singular at f32; keeping all %d "
+                "landmarks (pruning disabled) and factorizing once on the "
+                "host in float64.",
+                self.landmarks.shape[0],
+            )
+            try:
+                return jnp.asarray(
+                    host_cholesky_f64(K, jitter=self.jitter), dtype=K.dtype
+                )
+            except np.linalg.LinAlgError:
+                return safe_cholesky(K, jitter=self.jitter, max_tries=3)
         piv = select_stable_landmarks(K, rel_tol=1e-6)
         logger.warning(
             "Landmark kernel is singular at f32; pruning %d "

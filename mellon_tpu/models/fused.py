@@ -940,6 +940,31 @@ def _finish_factorization(est, x, xu, K, Lp, ok, x64, run_ok, run_prune, pivot=N
         est.Lp = safe_cholesky(K, jitter=est.jitter, max_tries=0)
         return
 
+    from .. import config
+
+    if not config.PRUNE_SINGULAR_LANDMARKS:
+        # full-capacity opt-out: keep all landmarks, factorize once on the
+        # host in f64 (no jitter escalation — an escalated "success" would
+        # inflate the model), leave L/initial_value to the lazy chain
+        # (which chunks the large TRSM)
+        import numpy as _np
+
+        from ..ops.linalg import host_cholesky_f64
+
+        logger.warning(
+            "Landmark kernel is singular at f32; keeping all %d landmarks "
+            "(pruning disabled) and factorizing once on the host in "
+            "float64.",
+            k,
+        )
+        try:
+            est.Lp = jnp.asarray(
+                host_cholesky_f64(K, jitter=est.jitter), dtype=K.dtype
+            )
+        except _np.linalg.LinAlgError:
+            est.Lp = safe_cholesky(K, jitter=est.jitter, max_tries=3)
+        return
+
     # f32 pruning path: pivoted-Cholesky landmark subset (already computed
     # inside the stage-1 program unless the tolerance was not reached within
     # the fused cap), then one program for submatrix Cholesky + TRSM +

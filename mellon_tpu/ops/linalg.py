@@ -299,6 +299,14 @@ def _standard_low_rank_fused_spec(spec, params, x, xu, Lp):
     return solve_triangular(Lp, C.T, lower=True).T
 
 
+# chunk the kernel+TRSM program over rows of x when BOTH dims are large:
+# at (98k, 5000) the single-program solve allocates >1 GB transposed
+# panels and OOMs one v5e; the atlas shapes (1M x 512) are unaffected
+TRSM_CHUNK_MIN_M = 4096
+TRSM_CHUNK_MIN_N = 32768
+TRSM_CHUNK_ROWS = 16384
+
+
 def _standard_low_rank(
     x, cov_func, xu, Lp=None, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER
 ):
@@ -306,15 +314,30 @@ def _standard_low_rank(
     the landmark Cholesky (parity: ``mellon/decomposition.py:174-210``).
 
     The (n, m) solve maps to MXU-tiled TRSM in XLA; rows of L shard
-    naturally over a cells axis.
+    naturally over a cells axis.  Very large (n, m) pairs are chunked
+    over rows (one shape-stable program reused per chunk).
     """
     if Lp is None:
         Lp = _full_rank(xu, cov_func, sigma=sigma, jitter=jitter)
     try:
         spec, params = cov_func.operand_spec()
     except (NotImplementedError, AttributeError):
-        return _standard_low_rank_fused(cov_func, x, xu, Lp)
-    return _standard_low_rank_fused_spec(spec, params, x, xu, Lp)
+        kernel = partial(_standard_low_rank_fused, cov_func)
+    else:
+        kernel = partial(_standard_low_rank_fused_spec, spec, params)
+    n, m = x.shape[0], xu.shape[0]
+    if m >= TRSM_CHUNK_MIN_M and n > TRSM_CHUNK_MIN_N:
+        blocks = []
+        for start in range(0, n, TRSM_CHUNK_ROWS):
+            xi = x[start : start + TRSM_CHUNK_ROWS]
+            if xi.shape[0] < TRSM_CHUNK_ROWS:
+                # pad to the common chunk shape (one executable serves all
+                # chunks); padded rows are dropped below
+                pad = TRSM_CHUNK_ROWS - xi.shape[0]
+                xi = jnp.concatenate([xi, jnp.zeros((pad, x.shape[1]), x.dtype)])
+            blocks.append(kernel(xi, xu, Lp))
+        return jnp.concatenate(blocks, axis=0)[:n]
+    return kernel(x, xu, Lp)
 
 
 @jax.jit

@@ -530,3 +530,84 @@ def test_fused_nystroem_declines_small_m_and_custom_config(nystroem_data):
     est2._prepare_attribute("rank")
     est2._prepare_attribute("gp_type")
     assert maybe_fused_nystroem_prepare(est2) is False
+
+
+def test_no_prune_config_keeps_all_landmarks(caplog):
+    """config.PRUNE_SINGULAR_LANDMARKS=False keeps the full landmark set
+    via a direct host-f64 factorization (no jitter escalation), on both
+    the lazy hook (_lp_accept_or_prune) and the fused finisher
+    (_finish_factorization).  Unit-level: the x64 test suite promotes
+    kernels to f64, so a genuinely f32-singular end-to-end prepare cannot
+    be staged here — the hooks are driven directly with a singular f32
+    kernel and a failed Cholesky attempt."""
+    import logging
+
+    import mellon_tpu.config as config
+    from mellon_tpu.models.fused import _finish_factorization
+
+    m = 60
+    rs = np.random.RandomState(2)
+    xu = jnp.asarray(rs.randn(m, 3), jnp.float32)
+    # near-all-ones kernel: f32-singular, f64-factorizable with jitter
+    K = jnp.asarray(
+        np.ones((m, m)) + 1e-5 * (rs.randn(m, 3) @ rs.randn(3, m)), jnp.float32
+    )
+    K = 0.5 * (K + K.T)
+    L_failed = jnp.full((m, m), jnp.nan, dtype=jnp.float32)
+
+    logger = logging.getLogger("mellon_tpu")
+    old_flag = config.PRUNE_SINGULAR_LANDMARKS
+    logger.propagate = True
+    try:
+        config.PRUNE_SINGULAR_LANDMARKS = False
+
+        # lazy hook
+        est = mellon_tpu.DensityEstimator(n_landmarks=m)
+        est.landmarks = xu
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="mellon_tpu"):
+            Lp = est._lp_accept_or_prune(K, L_failed, False)
+        assert any("pruning disabled" in r.message for r in caplog.records)
+        assert Lp.shape == (m, m) and Lp.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(Lp)))
+        assert est.landmarks.shape[0] == m  # NOT pruned
+
+        # fused finisher
+        est2 = mellon_tpu.DensityEstimator(n_landmarks=m)
+        x = jnp.asarray(rs.randn(200, 3), jnp.float32)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="mellon_tpu"):
+            _finish_factorization(
+                est2, x, xu, K, L_failed, False, False,
+                lambda *a: (_ for _ in ()).throw(AssertionError("run_ok")),
+                lambda *a: (_ for _ in ()).throw(AssertionError("run_prune")),
+                pivot=None,
+            )
+        assert any("pruning disabled" in r.message for r in caplog.records)
+        assert est2.Lp.shape == (m, m)
+        assert bool(jnp.all(jnp.isfinite(est2.Lp)))
+        assert est2.L is None  # left to the lazy chain (chunked TRSM)
+    finally:
+        config.PRUNE_SINGULAR_LANDMARKS = old_flag
+        logger.propagate = False
+        logger.propagate = False
+
+
+def test_chunked_trsm_matches_unchunked():
+    """Row-chunked _standard_low_rank equals the single-program solve."""
+    import mellon_tpu.ops.linalg as lin
+    from mellon_tpu.ops.kernels import Matern52
+
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(130, 3))
+    xu = jnp.asarray(rs.randn(20, 3))
+    cov = Matern52(2.0)
+    L_ref = lin._standard_low_rank(x, cov, xu)
+    old = (lin.TRSM_CHUNK_MIN_M, lin.TRSM_CHUNK_MIN_N, lin.TRSM_CHUNK_ROWS)
+    try:
+        lin.TRSM_CHUNK_MIN_M, lin.TRSM_CHUNK_MIN_N, lin.TRSM_CHUNK_ROWS = 8, 50, 48
+        L_chunked = lin._standard_low_rank(x, cov, xu)
+    finally:
+        lin.TRSM_CHUNK_MIN_M, lin.TRSM_CHUNK_MIN_N, lin.TRSM_CHUNK_ROWS = old
+    assert L_chunked.shape == L_ref.shape
+    np.testing.assert_allclose(np.asarray(L_chunked), np.asarray(L_ref), rtol=1e-12)
