@@ -9,7 +9,11 @@ chose, the log-evidence estimate, and mutation-gradient throughput
 (the same (n, m) x (m, particles) shared-matmul economics as the NUTS
 chain scaling in PERFORMANCE.md).
 
-Usage: python scripts/smc_bench.py [n] [m] [num_particles]
+Usage: python scripts/smc_bench.py [n] [m] [num_particles] [laplace]
+
+``laplace`` anneals from the diagonal-Laplace Gaussian at the MAP with
+the adjusted likelihood (same β=1 target and evidence) instead of the
+N(0, I) prior — the practical configuration for peaked posteriors.
 """
 
 import sys
@@ -21,18 +25,53 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n=100_000, m=512, num_particles=1024):
+def main(n=100_000, m=512, num_particles=1024, start="prior"):
+    from mellon_tpu.inference.laplace import compute_laplace_std
     from mellon_tpu.inference.losses import density_loss
+    from mellon_tpu.inference.optimizers import minimize_lbfgsb
     from mellon_tpu.inference.smc import loglik_from_loss, run_smc
 
-    log(f"devices: {jax.devices()}  n={n:,} m={m} particles={num_particles}")
+    log(f"devices: {jax.devices()}  n={n:,} m={m} particles={num_particles} "
+        f"start={start}")
     key = jax.random.PRNGKey(0)
     L = jax.random.normal(key, (n, m), dtype=jnp.float32) / jnp.sqrt(m)
     nn = 0.05 + 0.3 * jax.random.uniform(
         jax.random.fold_in(key, 1), (n,), dtype=jnp.float32
     )
     d, mu = 20.0, -10.0
-    loglik = loglik_from_loss(density_loss)
+    prior_kwargs = {}
+    if start == "laplace":
+        t0 = time.time()
+        res_map = minimize_lbfgsb(
+            density_loss, jnp.zeros(m, dtype=jnp.float32),
+            loss_args=(L, nn, jnp.asarray(d), jnp.asarray(mu)),
+        )
+        z_map = res_map.pre_transformation
+        sigma = jnp.clip(
+            jnp.asarray(compute_laplace_std(
+                density_loss, z_map,
+                loss_args=(L, nn, jnp.asarray(d), jnp.asarray(mu)),
+            )),
+            1e-3, 10.0,
+        )
+        log(f"MAP + Laplace std: {time.time()-t0:.1f}s (loss {res_map.loss:.4g})")
+
+        def q_sample(k, n_p):
+            return z_map[None, :] + sigma[None, :] * jax.random.normal(
+                k, (n_p, m), dtype=z_map.dtype
+            )
+
+        def q_logpdf(z):
+            u = (z - z_map) / sigma
+            return (-0.5 * jnp.sum(u**2) - jnp.sum(jnp.log(sigma))
+                    - 0.5 * m * jnp.log(2 * jnp.pi))
+
+        def loglik(z, Lx, nnx, dx, mux):
+            return -density_loss(z, Lx, nnx, dx, mux) - q_logpdf(z)
+
+        prior_kwargs = dict(prior_sample=q_sample, prior_logpdf=q_logpdf)
+    else:
+        loglik = loglik_from_loss(density_loss)
 
     def sweep(seed):
         t0 = time.time()
@@ -44,6 +83,7 @@ def main(n=100_000, m=512, num_particles=1024):
             num_mutation_steps=5,
             num_leapfrog_steps=8,
             loglik_args=(L, nn, d, mu),
+            **prior_kwargs,
         )
         jax.device_get(res.log_evidence)
         return time.time() - t0, res
@@ -70,4 +110,7 @@ def main(n=100_000, m=512, num_particles=1024):
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:]])
+    argv = sys.argv[1:]
+    start = "laplace" if "laplace" in argv else "prior"
+    nums = [int(a) for a in argv if a not in ("laplace", "prior")]
+    main(*nums, start=start)
