@@ -341,6 +341,54 @@ def run_smc(
     )
 
 
+def laplace_start(loss_fn, loss_args, z0, z_map=None):
+    """Build the Laplace-start ingredients for :func:`run_smc`: the
+    adjusted log-likelihood  log π(z) − log q(z)  and the custom-prior
+    kwargs for q = N(z*, diag Laplace σ²).
+
+    ``z_map`` reuses an already-fitted MAP; otherwise one L-BFGS run from
+    ``z0`` computes it.  Returns ``(adjusted_loglik, prior_kwargs)``; the
+    tempered target at β = 1 and the evidence estimate are identical to
+    the N(0, I)-prior start, but the annealing path is short and
+    well-mixed on peaked posteriors (PERFORMANCE.md "SMC on the density
+    model").
+    """
+    from .laplace import compute_laplace_std
+    from .optimizers import minimize_lbfgsb
+
+    if z_map is None:
+        z_map = minimize_lbfgsb(
+            loss_fn, z0, loss_args=loss_args
+        ).pre_transformation
+    z_map = jnp.asarray(z_map)
+    dim = int(z_map.shape[-1])
+    sigma = jnp.asarray(
+        compute_laplace_std(loss_fn, z_map, loss_args=loss_args)
+    )
+    # guard: a flat/ill-conditioned Hessian direction would explode q
+    sigma = jnp.clip(sigma, 1e-3, 10.0)
+
+    def q_sample(k, n):
+        return z_map[None, :] + sigma[None, :] * jax.random.normal(
+            k, (n, dim), dtype=z_map.dtype
+        )
+
+    def q_logpdf(z):
+        u = (z - z_map) / sigma
+        return (
+            -0.5 * jnp.sum(u**2)
+            - jnp.sum(jnp.log(sigma))
+            - 0.5 * dim * jnp.log(2 * jnp.pi)
+        )
+
+    def adjusted_loglik(z, *args):
+        # the big model operands thread through args (never baked); only
+        # the small (z*, σ) vectors live in the closure
+        return -loss_fn(z, *args) - q_logpdf(z)
+
+    return adjusted_loglik, dict(prior_sample=q_sample, prior_logpdf=q_logpdf)
+
+
 def smc_density_posterior(
     estimator, num_particles=1024, seed=0, start="prior", **kwargs
 ):
@@ -371,51 +419,19 @@ def smc_density_posterior(
 
     key = jax.random.PRNGKey(seed)
     if start == "laplace":
-        from .laplace import compute_laplace_std
-        from .optimizers import minimize_lbfgsb
-
-        z_map = getattr(estimator, "pre_transformation", None)
-        if z_map is None:
-            res_map = minimize_lbfgsb(
-                loss_fn, estimator.initial_value, loss_args=loss_args
-            )
-            z_map = res_map.pre_transformation
-        z_map = jnp.asarray(z_map)
-        sigma = jnp.asarray(
-            compute_laplace_std(loss_fn, z_map, loss_args=loss_args)
+        adjusted_loglik, prior_kwargs = laplace_start(
+            loss_fn,
+            loss_args,
+            estimator.initial_value,
+            z_map=getattr(estimator, "pre_transformation", None),
         )
-        # guard: a flat/ill-conditioned Hessian direction would explode q
-        sigma = jnp.clip(sigma, 1e-3, 10.0)
-
-        def q_sample(k, n):
-            return z_map[None, :] + sigma[None, :] * jax.random.normal(
-                k, (n, dim), dtype=z_map.dtype
-            )
-
-        def q_logpdf(z):
-            u = (z - z_map) / sigma
-            return (
-                -0.5 * jnp.sum(u**2)
-                - jnp.sum(jnp.log(sigma))
-                - 0.5 * dim * jnp.log(2 * jnp.pi)
-            )
-
-        def adjusted_loglik(z, *args):
-            # log posterior_unnorm(z) − log q(z): at β=1 the tempered
-            # target q·exp(adjusted) is the exact posterior, and the
-            # evidence estimate is the same normalizing constant.  The
-            # big model operands thread through args (never baked); only
-            # the small (z*, σ) vectors live in the closure.
-            return -loss_fn(z, *args) - q_logpdf(z)
-
         result = run_smc(
             adjusted_loglik,
             dim,
             key,
             num_particles=num_particles,
-            prior_sample=q_sample,
-            prior_logpdf=q_logpdf,
             loglik_args=loss_args,
+            **prior_kwargs,
             **kwargs,
         )
     elif start == "prior":

@@ -75,7 +75,10 @@ _SMC_OPTION_KEYS = {
     "mutation_step_size",
     "num_leapfrog_steps",
     "max_stages",
+    "start",
 }
+# string-valued options with their allowed values
+_STR_SAMPLER_OPTIONS = {"start": ("prior", "laplace")}
 _SAMPLER_OPTION_KEYS = _NUTS_OPTION_KEYS | _SMC_OPTION_KEYS
 # count-valued options: the sampler paths int()-cast these, so accepting
 # 0.5 here would silently become 0 chains/particles downstream
@@ -110,6 +113,13 @@ def _validate_sampler_options(options):
             f"SMC accepts {sorted(_SMC_OPTION_KEYS)}."
         )
     for name, value in options.items():
+        if name in _STR_SAMPLER_OPTIONS:
+            if value not in _STR_SAMPLER_OPTIONS[name]:
+                raise ValueError(
+                    f"sampler_options[{name!r}] must be one of "
+                    f"{_STR_SAMPLER_OPTIONS[name]}, got {value!r}."
+                )
+            continue
         # finiteness first: inf on an int-keyed option would raise an
         # uncaught OverflowError in the integrality check below, and
         # NaN passes `value <= 0` (NaN comparisons are False)
@@ -679,7 +689,6 @@ class BaseEstimator:
                     "optimizer='smc' currently supports 1-d latent vectors."
                 )
             dim = int(initial_value.shape[-1])
-            loglik = loglik_from_loss(loss_fn)
             smc_opts = {"num_particles": 1024}
             smc_opts.update(
                 {
@@ -693,11 +702,25 @@ class BaseEstimator:
                             "max_stages"):
                 if int_key in smc_opts:
                     smc_opts[int_key] = int(smc_opts[int_key])
+            start = smc_opts.pop("start", "prior")
+            prior_kwargs = {}
+            if start == "laplace":
+                # anneal from the diagonal-Laplace Gaussian at the MAP with
+                # the adjusted likelihood (same beta=1 target and evidence;
+                # short well-mixed schedule on peaked posteriors)
+                from ..inference.smc import laplace_start
+
+                loglik, prior_kwargs = laplace_start(
+                    loss_fn, loss_args, initial_value
+                )
+            else:
+                loglik = loglik_from_loss(loss_fn)
             result = run_smc(
                 loglik,
                 dim,
                 _jax.random.PRNGKey(seed),
                 loglik_args=loss_args,
+                **prior_kwargs,
                 **smc_opts,
             )
             self.pre_transformation = result.particles.mean(axis=0)

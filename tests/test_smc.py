@@ -369,3 +369,23 @@ def test_smc_density_posterior_unknown_start_raises():
     est.run_inference()
     with pytest.raises(ValueError, match="Unknown start option"):
         smc_density_posterior(est, num_particles=8, start="bogus")
+
+
+def test_estimator_smc_laplace_start_option():
+    """sampler_options={'start': 'laplace'} on optimizer='smc' fits via the
+    Laplace-started sweep; invalid values are rejected at construction."""
+    from mellon_tpu import DensityEstimator
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (50, 2))
+    ref = DensityEstimator(n_landmarks=20).fit_predict(x)
+    est = DensityEstimator(
+        n_landmarks=20, optimizer="smc",
+        sampler_options={"num_particles": 256, "start": "laplace"},
+    )
+    ld = est.fit_predict(x)
+    assert np.all(np.isfinite(np.asarray(ld)))
+    assert np.corrcoef(np.asarray(ld), np.asarray(ref))[0, 1] > 0.9
+    assert est.smc_result.betas[-1] == 1.0
+
+    with pytest.raises(ValueError, match="must be one of"):
+        DensityEstimator(optimizer="smc", sampler_options={"start": "warm"})
