@@ -36,8 +36,10 @@ run nystroem    python scripts/nystroem_recheck.py
 run ls_time_d2  python scripts/ls_time_bench.py 2
 run ls_time_d20 python scripts/ls_time_bench.py 20
 run smc         python scripts/smc_bench.py
+run smc_laplace python scripts/smc_bench.py laplace
 run baseline    python scripts/baseline_matrix.py
 run nuts        python scripts/nuts_bench.py
+run nuts_c128   python scripts/nuts_bench.py 100000 5000 60 60 128
 run time        python scripts/time_bench.py
 run predict     python scripts/predict_bench.py
 run tpu_tests   env MELLON_TPU_TESTS=1 python -m pytest tests/test_tpu_contracts.py -m tpu -q
