@@ -342,9 +342,11 @@ class BaseEstimator:
         from .. import config
 
         if not config.PRUNE_SINGULAR_LANDMARKS:
-            # full capacity deliberately skips jitter escalation (an
-            # escalated-jitter "success" would inflate the model): go
-            # straight to the host-f64 factorization
+            # full capacity goes straight to the host-f64 factorization
+            # (which itself escalates jitter only as a last resort for
+            # matrices that are indefinite even at f64 resolution); the
+            # f32 escalated safe_cholesky below is the final fallback if
+            # even that fails
             import numpy as np
             import jax.numpy as jnp
 

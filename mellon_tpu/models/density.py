@@ -158,7 +158,7 @@ class DensityEstimator(BaseEstimator):
             which is likely to cause numerical instability issues.
             Consider running a dimensionality reduction algorithm, or
             if this number of dimensions is intended, explicitly pass
-            d={self.d} as a parameter."""
+            d={d} as a parameter."""
             raise ValueError(message)
         return d
 

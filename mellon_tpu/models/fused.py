@@ -298,6 +298,7 @@ def maybe_fused_nystroem_prepare(est):
     from ..ops.linalg import (
         NYSTROEM_EXACT_MAX,
         RANK_BUCKETS,
+        _chunked_rows,
         _nystroem_select_and_project,
         _standard_low_rank_fused_spec,
         safe_cholesky,
@@ -398,9 +399,13 @@ def maybe_fused_nystroem_prepare(est):
         )
 
     rank = est.rank
-    # whitened features via the sparse path's TRSM program, then the
-    # mass selection on their Gram
-    H = _standard_low_rank_fused_spec(spec, params, x, xu_sel, Lp_sel)
+    # whitened features via the sparse path's TRSM program — row-chunked
+    # at large (n, m) exactly like _standard_low_rank, so a
+    # well-conditioned full-width landmark kernel at large n cannot OOM
+    # the single-program solve — then the mass selection on their Gram
+    H = _chunked_rows(
+        partial(_standard_low_rank_fused_spec, spec, params), x, xu_sel, Lp_sel
+    )
     L = _nystroem_select_and_project(H, rank)
     # _compute_L's logging/warning contract for the Nyström types
     new_rank = L.shape[1]
@@ -944,9 +949,10 @@ def _finish_factorization(est, x, xu, K, Lp, ok, x64, run_ok, run_prune, pivot=N
 
     if not config.PRUNE_SINGULAR_LANDMARKS:
         # full-capacity opt-out: keep all landmarks, factorize once on the
-        # host in f64 (no jitter escalation — an escalated "success" would
-        # inflate the model), leave L/initial_value to the lazy chain
-        # (which chunks the large TRSM)
+        # host in f64 (host-side jitter escalation only as a last resort
+        # for matrices indefinite even at f64 resolution; the escalated
+        # f32 safe_cholesky below is the final fallback), leave
+        # L/initial_value to the lazy chain (which chunks the large TRSM)
         import numpy as _np
 
         from ..ops.linalg import host_cholesky_f64

@@ -156,8 +156,9 @@ def _select_eigenpairs(
     )
     if bool(any_nonpos):
         logger.warning(
-            "Singuarity detected in covariance matrix. "
-            "This can complicated prediction. Consider raising the jitter."
+            "Covariance matrix is singular (non-positive eigenvalues "
+            "detected); predictions may be unreliable. Consider raising "
+            "the jitter."
         )
     p = int(n_pos)
     if p == 0:
@@ -307,24 +308,26 @@ TRSM_CHUNK_MIN_N = 32768
 TRSM_CHUNK_ROWS = 16384
 
 
-def _standard_low_rank(
-    x, cov_func, xu, Lp=None, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER
-):
-    """Sparse-Cholesky L: triangular solve of the cross-covariance against
-    the landmark Cholesky (parity: ``mellon/decomposition.py:174-210``).
-
-    The (n, m) solve maps to MXU-tiled TRSM in XLA; rows of L shard
-    naturally over a cells axis.  Very large (n, m) pairs are chunked
-    over rows (one shape-stable program reused per chunk).
-    """
-    if Lp is None:
-        Lp = _full_rank(xu, cov_func, sigma=sigma, jitter=jitter)
+def chunked_whiten(x, cov_func, xu, Lp):
+    """H = k(x, xu) Lp⁻ᵀ via the fused kernel-evaluation + TRSM program,
+    row-chunked over x when BOTH dimensions are large (the single-program
+    solve at e.g. (98k, 5000) allocates >1 GB transposed panels and OOMs
+    one v5e).  One shape-stable executable serves every chunk.  Shared by
+    the sparse-Cholesky factorization, the large-m Nyström whitening
+    (lazy and fused paths), and the full-capacity (no-prune) route."""
     try:
         spec, params = cov_func.operand_spec()
     except (NotImplementedError, AttributeError):
         kernel = partial(_standard_low_rank_fused, cov_func)
     else:
         kernel = partial(_standard_low_rank_fused_spec, spec, params)
+    return _chunked_rows(kernel, x, xu, Lp)
+
+
+def _chunked_rows(kernel, x, xu, Lp):
+    """Apply ``kernel(x_chunk, xu, Lp)`` row-chunked over x (see
+    :func:`chunked_whiten`); the fused prepares call this directly with
+    their spec-keyed kernel."""
     n, m = x.shape[0], xu.shape[0]
     if m >= TRSM_CHUNK_MIN_M and n > TRSM_CHUNK_MIN_N:
         blocks = []
@@ -338,6 +341,21 @@ def _standard_low_rank(
             blocks.append(kernel(xi, xu, Lp))
         return jnp.concatenate(blocks, axis=0)[:n]
     return kernel(x, xu, Lp)
+
+
+def _standard_low_rank(
+    x, cov_func, xu, Lp=None, sigma=DEFAULT_SIGMA, jitter=DEFAULT_JITTER
+):
+    """Sparse-Cholesky L: triangular solve of the cross-covariance against
+    the landmark Cholesky (parity: ``mellon/decomposition.py:174-210``).
+
+    The (n, m) solve maps to MXU-tiled TRSM in XLA; rows of L shard
+    naturally over a cells axis.  Very large (n, m) pairs are chunked
+    over rows (one shape-stable program reused per chunk).
+    """
+    if Lp is None:
+        Lp = _full_rank(xu, cov_func, sigma=sigma, jitter=jitter)
+    return chunked_whiten(x, cov_func, xu, Lp)
 
 
 @jax.jit
@@ -397,18 +415,23 @@ def _modified_low_rank(
     # already loads.  The f32 rescue is safe_cholesky's ladder (escalated
     # jitter, then one host-f64 factorization); the fused prepare
     # (models/fused.py) prunes to the pivoted landmark subset instead.
+    max_tries = 0 if x.dtype == jnp.float64 else 3
+    K = cov_func(xu, xu)
     if isinstance(sigma, (int, float)):
         eff_jitter = max(float(sigma) ** 2, jitter)
     else:
-        eff_jitter = float(jnp.maximum(jnp.square(sigma), jitter))
-    max_tries = 0 if x.dtype == jnp.float64 else 3
-    Lp = safe_cholesky(cov_func(xu, xu), jitter=eff_jitter, max_tries=max_tries)
-    try:
-        spec, params = cov_func.operand_spec()
-    except (NotImplementedError, AttributeError):
-        H = _standard_low_rank_fused(cov_func, x, xu, Lp)
-    else:
-        H = _standard_low_rank_fused_spec(spec, params, x, xu, Lp)
+        # per-element noise floor: stabilize the diagonal with
+        # max(sigma_i^2, jitter) elementwise (broadcast like the reference's
+        # stabilize + add_variance), then factorize without extra jitter on
+        # the first attempt
+        sigma2 = jnp.maximum(jnp.square(jnp.asarray(sigma)), jitter)
+        idx = jnp.arange(K.shape[0])
+        K = K.at[idx, idx].add(sigma2)
+        eff_jitter = 0.0
+    Lp = safe_cholesky(K, jitter=eff_jitter, max_tries=max_tries)
+    # row-chunked whitening: the (n, m) kernel+TRSM program at large n AND
+    # large m otherwise allocates >1 GB transposed panels and OOMs one v5e
+    H = chunked_whiten(x, cov_func, xu, Lp)
     return _nystroem_select_and_project(H, rank)
 
 

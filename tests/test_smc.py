@@ -389,3 +389,53 @@ def test_estimator_smc_laplace_start_option():
 
     with pytest.raises(ValueError, match="must be one of"):
         DensityEstimator(optimizer="smc", sampler_options={"start": "warm"})
+
+
+def test_laplace_start_reports_clipped_sigma(caplog):
+    """A flat Hessian direction produces a huge Laplace std that
+    laplace_start clips into [LAPLACE_SIGMA_MIN, LAPLACE_SIGMA_MAX]; the
+    clipping must be surfaced (warning above the fraction threshold), and
+    the resulting q must still be usable (finite samples and logpdf)."""
+    import logging
+
+    from mellon_tpu.inference.smc import (
+        LAPLACE_SIGMA_MAX,
+        LAPLACE_SIGMA_MIN,
+        laplace_start,
+    )
+
+    # dim 0/1: unit curvature; dim 2: intentionally flat (no z2 term);
+    # dim 3: extremely sharp curvature -> std below the lower clip
+    def loss(z):
+        return (
+            0.5 * z[0] ** 2
+            + 0.5 * z[1] ** 2
+            + 0.0 * z[2]
+            + 0.5e8 * z[3] ** 2
+        )
+
+    logger = logging.getLogger("mellon_tpu")
+    logger.propagate = True
+    try:
+        with caplog.at_level(logging.INFO, logger="mellon_tpu"):
+            adjusted, prior_kwargs = laplace_start(
+                loss, (), jnp.zeros(4), z_map=jnp.zeros(4)
+            )
+    finally:
+        logger.propagate = False
+    clip_msgs = [
+        r for r in caplog.records if "clipping" in r.message.lower()
+    ]
+    assert clip_msgs, "laplace_start did not report the clipped std entries"
+    # 2 of 4 directions clipped (50%) -> warning level
+    assert any(r.levelno >= logging.WARNING for r in clip_msgs)
+    assert "2 of 4" in clip_msgs[-1].message
+
+    samples = prior_kwargs["prior_sample"](jax.random.PRNGKey(0), 8)
+    assert np.isfinite(np.asarray(samples)).all()
+    # the flat direction's scale was clipped to the max, not 1e4
+    assert float(samples[:, 2].std()) < 3 * LAPLACE_SIGMA_MAX
+    lp = prior_kwargs["prior_logpdf"](samples[0])
+    assert np.isfinite(float(lp))
+    assert np.isfinite(float(adjusted(samples[0])))
+    assert LAPLACE_SIGMA_MIN == pytest.approx(1e-3)
