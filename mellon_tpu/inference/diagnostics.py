@@ -46,21 +46,33 @@ def _autocov_fft(x):
     return acov
 
 
-def effective_sample_size(samples):
+def effective_sample_size(samples, return_truncation=False):
     """ESS per dimension using Geyer's initial monotone sequence over the
     chain-averaged autocorrelations.
 
     Parameters
     ----------
     samples : (num_chains, num_samples, dim)
+    return_truncation : bool — when True, additionally return the lag at
+        which Geyer's initial positive sequence stopped for each
+        dimension.  A truncation lag that reaches the chain length means
+        the autocorrelation never went negative within the window, i.e.
+        the ESS for that dimension is a window-limited LOWER BOUND, not a
+        measurement — the signature of chains far shorter than the
+        integrated autocorrelation time (VERDICT r3: short-window ESS
+        floors masquerading as throughput).
 
     Returns
     -------
-    (dim,) array of effective sample sizes.
+    (dim,) array of effective sample sizes; with ``return_truncation``,
+    the tuple ``(ess, truncation_lag)`` where ``truncation_lag`` is the
+    (dim,) integer array of final lags (saturated when
+    ``truncation_lag + 2 > num_samples``).
     """
     samples = np.asarray(samples)
     c, n, d = samples.shape
     ess = np.empty(d)
+    trunc = np.empty(d, dtype=np.int64)
     for j in range(d):
         acovs = np.stack([_autocov_fft(samples[i, :, j]) for i in range(c)])
         mean_var = acovs[:, 0].mean()
@@ -79,6 +91,9 @@ def effective_sample_size(samples):
             tau += 2 * pair
             t += 2
         ess[j] = c * n / max(tau, 1e-8)
+        trunc[j] = t
+    if return_truncation:
+        return ess, trunc
     return ess
 
 
