@@ -28,6 +28,16 @@ DEFAULT_JITTER = 1e-6
 # shape, PERFORMANCE.md "Fidelity disclosure").
 PRUNE_SINGULAR_LANDMARKS = True
 
+# When the full-capacity path (PRUNE_SINGULAR_LANDMARKS = False) has
+# factorized the landmark kernel on the host in f64, whiten the cells
+# against it in extended (double-single) precision on device
+# (ops/extended_precision.py) instead of an f32 TRSM.  The f32 solve
+# against a near-singular factor amplifies rounding by ~cond(Lp) and
+# capped the 98k-cell d=2 time-series fidelity at corr 0.76; the
+# double-single product is f64-equivalent.  Opt out to reproduce the
+# plain f32-TRSM behaviour.
+EXTENDED_PRECISION_WHITEN = True
+
 
 def default_float():
     """Return the active default float dtype (f64 iff jax x64 is enabled)."""

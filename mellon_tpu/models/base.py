@@ -359,11 +359,15 @@ class BaseEstimator:
                 self.landmarks.shape[0],
             )
             try:
-                return jnp.asarray(
-                    host_cholesky_f64(K, jitter=self.jitter), dtype=K.dtype
-                )
+                L_host64 = host_cholesky_f64(K, jitter=self.jitter)
             except np.linalg.LinAlgError:
                 return safe_cholesky(K, jitter=self.jitter, max_tries=3)
+            # keep the f64 factor: _compute_L whitens through its
+            # triangular inverse in extended (double-single) precision —
+            # the f32 TRSM against this near-singular factor was the
+            # binding fidelity limit at extreme kernel conditioning
+            self._hostf64_Lp = L_host64
+            return jnp.asarray(L_host64, dtype=K.dtype)
         piv = select_stable_landmarks(K, rel_tol=1e-6)
         logger.warning(
             "Landmark kernel is singular at f32; pruning %d "
@@ -417,16 +421,38 @@ class BaseEstimator:
         rank = self.rank
         check_rank = self.check_rank
 
-        L = compute_L(
-            x,
-            self.cov_func,
-            gp_type,
-            landmarks=landmarks,
-            Lp=self.Lp,
-            rank=rank,
-            sigma=0,
-            jitter=self.jitter,
-        )
+        from .. import config
+
+        if (
+            getattr(self, "_hostf64_Lp", None) is not None
+            and config.EXTENDED_PRECISION_WHITEN
+            and landmarks is not None
+            and gp_type
+            in (GaussianProcessType.SPARSE_CHOLESKY, GaussianProcessType.FIXED)
+        ):
+            # full-capacity path: the landmark kernel was f32-singular and
+            # factorized on the host in f64; whiten through its triangular
+            # inverse in extended (double-single) precision on device —
+            # f64-equivalent accuracy at bf16-MXU speed
+            from ..ops.extended_precision import whiten_with_hostf64
+
+            logger.info(
+                "Whitening %s cells against the host-f64 factor in "
+                "extended (double-single) precision.",
+                f"{x.shape[0]:,}",
+            )
+            L = whiten_with_hostf64(x, self.cov_func, landmarks, self._hostf64_Lp)
+        else:
+            L = compute_L(
+                x,
+                self.cov_func,
+                gp_type,
+                landmarks=landmarks,
+                Lp=self.Lp,
+                rank=rank,
+                sigma=0,
+                jitter=self.jitter,
+            )
 
         new_rank = L.shape[1]
         n_samples = x.shape[0]

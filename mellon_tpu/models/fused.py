@@ -964,11 +964,14 @@ def _finish_factorization(est, x, xu, K, Lp, ok, x64, run_ok, run_prune, pivot=N
             k,
         )
         try:
-            est.Lp = jnp.asarray(
-                host_cholesky_f64(K, jitter=est.jitter), dtype=K.dtype
-            )
+            L_host64 = host_cholesky_f64(K, jitter=est.jitter)
         except _np.linalg.LinAlgError:
             est.Lp = safe_cholesky(K, jitter=est.jitter, max_tries=3)
+            return
+        # keep the f64 factor for the lazy chain's extended-precision
+        # whitening (see BaseEstimator._compute_L)
+        est._hostf64_Lp = L_host64
+        est.Lp = jnp.asarray(L_host64, dtype=K.dtype)
         return
 
     # f32 pruning path: pivoted-Cholesky landmark subset (already computed

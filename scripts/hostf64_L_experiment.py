@@ -87,7 +87,9 @@ def main(smoke=False):
         named = named_x("time_98192x2")
         assert named is not None, "run accuracy_cert.py --write-named first"
         x_np, t_np = named
-        ref = np.load(named_path("time_98192x2"))["ld_ref"].astype(np.float64)
+        ref = np.load(named_path("time_98192x2"))["log_density"].astype(
+            np.float64
+        )
     x = jnp.asarray(x_np, jnp.float32)
     t = jnp.asarray(t_np, jnp.float32)
     log(f"devices: {jax.devices()}  n={x.shape[0]:,} d={x.shape[1]}")

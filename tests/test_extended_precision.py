@@ -1,0 +1,177 @@
+"""Extended-precision (double-single) MXU product tests: error-free slice
+accumulation vs numpy float64, and the full-capacity whitening hook.
+
+NEW capability (SURVEY.md §7 "Precision"; VERDICT r3 Missing #2): the
+reference runs float64 on the host everywhere, so it has no counterpart —
+these tests pin the accuracy contract that makes the TPU f32 pipeline
+match it at extreme kernel conditioning.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+from mellon_tpu.ops.extended_precision import (
+    _two_sum,
+    ds_from_f64,
+    ds_matmul,
+    host_triangular_inverse_ds,
+    whiten_with_hostf64,
+)
+
+
+def _mat52(X, Y, ls):
+    xx = (X * X).sum(1)[:, None]
+    yy = (Y * Y).sum(1)[None, :]
+    sq = xx - 2 * X @ Y.T + yy + 1e-12
+    r = np.sqrt(5.0) * np.sqrt(np.maximum(sq, 1e-12)) / ls
+    return (r + r * r / 3 + 1) * np.exp(-r)
+
+
+def _ill_conditioned_case(rs, m=400, n=1500, ls=200.0):
+    """Replica of the 98k d=2 conditioning: product Matern52 kernel with a
+    saturating length scale over clustered landmarks."""
+    xu = np.concatenate(
+        [rs.randn(m, 2) * 0.5, (np.arange(m) % 8)[:, None] * 1.0], axis=1
+    )
+    x = np.concatenate(
+        [rs.randn(n, 2) * 0.5, rs.randint(0, 8, n)[:, None] * 1.0], axis=1
+    )
+    K = _mat52(xu[:, :2], xu[:, :2], ls) * _mat52(xu[:, 2:], xu[:, 2:], 0.375)
+    Lp64 = np.linalg.cholesky(K + 1e-6 * np.eye(m))
+    C = (
+        _mat52(x[:, :2], xu[:, :2], ls) * _mat52(x[:, 2:], xu[:, 2:], 0.375)
+    ).astype(np.float32)
+    return x, xu, C, Lp64
+
+
+def test_two_sum_exact():
+    a = jnp.float32(1.0)
+    b = jnp.float32(1e-8)
+    s, e = _two_sum(a, b)
+    # the rounded sum plus its error term reconstructs the exact value
+    assert float(s) == 1.0
+    assert float(e) == pytest.approx(1e-8, rel=1e-6)
+
+
+def test_ds_from_f64_roundtrip():
+    rs = np.random.RandomState(0)
+    X = rs.randn(50, 40) * np.exp(3 * rs.randn(50, 40))
+    hi, lo = ds_from_f64(X)
+    back = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    np.testing.assert_allclose(back, X, rtol=3e-15)
+
+
+def test_ds_matmul_random_accuracy():
+    rs = np.random.RandomState(1)
+    A = rs.randn(200, 300).astype(np.float32)
+    B64 = rs.randn(300, 100) * np.exp(rs.randn(300, 100))
+    Bh, Bl = ds_from_f64(B64)
+    ref = A.astype(np.float64) @ B64
+    out = np.asarray(ds_matmul(jnp.asarray(A), Bh, Bl), np.float64)
+    amp = np.abs(A).astype(np.float64) @ np.abs(B64)
+    # the only surviving error is the final f32 rounding of the OUTPUT
+    # (2^-24 relative to each entry) plus a ~2^-40-of-amplitude slicing
+    # floor — far below the ~1e-7-of-amplitude f32 accumulation floor
+    assert (np.abs(out - ref) <= 3e-7 * np.abs(ref) + 1e-8 * amp).all()
+
+
+def test_ds_matmul_beats_f32_trsm_at_ill_conditioning():
+    rs = np.random.RandomState(2)
+    _, _, C, Lp64 = _ill_conditioned_case(rs)
+    Bh, Bl = host_triangular_inverse_ds(Lp64)
+    ref = sla.solve_triangular(Lp64, C.T.astype(np.float64), lower=True).T
+    out = np.asarray(ds_matmul(jnp.asarray(C), Bh, Bl), np.float64)
+    f32 = np.asarray(
+        jax.scipy.linalg.solve_triangular(
+            jnp.asarray(Lp64.astype(np.float32)), jnp.asarray(C).T, lower=True
+        ).T,
+        np.float64,
+    )
+    scale = np.sqrt((ref**2).mean())
+    err_ds = np.sqrt(((out - ref) ** 2).mean()) / scale
+    err_f32 = np.sqrt(((f32 - ref) ** 2).mean()) / scale
+    assert err_ds < 1e-6
+    assert err_ds < err_f32 / 100
+
+
+def test_ds_matmul_row_blocking_consistent():
+    rs = np.random.RandomState(3)
+    A = rs.randn(70, 130).astype(np.float32)  # K not a CHUNK_K multiple
+    B64 = rs.randn(130, 60)
+    Bh, Bl = ds_from_f64(B64)
+    full = np.asarray(ds_matmul(jnp.asarray(A), Bh, Bl))
+    blocked = np.asarray(ds_matmul(jnp.asarray(A), Bh, Bl, block_rows=32))
+    np.testing.assert_array_equal(full, blocked)
+
+
+def test_whiten_with_hostf64_matches_f64_trsm():
+    import mellon_tpu
+
+    rs = np.random.RandomState(4)
+    x, xu, _, Lp64 = _ill_conditioned_case(rs, m=300, n=900)
+    cov = mellon_tpu.cov.Matern52(200.0, active_dims=slice(None, -1)) * (
+        mellon_tpu.cov.Matern52(0.375, active_dims=-1)
+    )
+    xj = jnp.asarray(x, jnp.float32)
+    xuj = jnp.asarray(xu, jnp.float32)
+    C = np.asarray(cov(xj, xuj), np.float64)
+    ref = sla.solve_triangular(Lp64, C.T, lower=True).T
+    out = np.asarray(
+        whiten_with_hostf64(xj, cov, xuj, Lp64, block_rows=256), np.float64
+    )
+    scale = np.sqrt((ref**2).mean())
+    assert np.sqrt(((out - ref) ** 2).mean()) / scale < 1e-5
+
+
+def test_compute_L_uses_extended_precision_hook(caplog):
+    """A (f32-singular, host-f64-factorized) no-prune estimator whitens L
+    through the double-single path and matches the f64 TRSM."""
+    import logging
+
+    import mellon_tpu
+    from mellon_tpu import config
+
+    rs = np.random.RandomState(5)
+    x, xu, _, Lp64 = _ill_conditioned_case(rs, m=200, n=500)
+    est = mellon_tpu.DensityEstimator(n_landmarks=200, gp_type="sparse_cholesky")
+    est.x = jnp.asarray(x, jnp.float32)
+    est.landmarks = jnp.asarray(xu, jnp.float32)
+    est.cov_func = mellon_tpu.cov.Matern52(
+        200.0, active_dims=slice(None, -1)
+    ) * mellon_tpu.cov.Matern52(0.375, active_dims=-1)
+    est.gp_type = mellon_tpu.util.GaussianProcessType.SPARSE_CHOLESKY
+    est.Lp = jnp.asarray(Lp64, jnp.float32)
+    est._hostf64_Lp = Lp64
+    est.check_rank = False
+
+    logger = logging.getLogger("mellon_tpu")
+    logger.propagate = True
+    try:
+        with caplog.at_level(logging.INFO, logger="mellon_tpu"):
+            L = est._compute_L()
+    finally:
+        logger.propagate = False
+    assert any(
+        "double-single" in r.message for r in caplog.records
+    ), "extended-precision whitening did not engage"
+
+    C = np.asarray(est.cov_func(est.x, est.landmarks), np.float64)
+    ref = sla.solve_triangular(Lp64, C.T, lower=True).T
+    scale = np.sqrt((ref**2).mean())
+    assert np.sqrt(((np.asarray(L, np.float64) - ref) ** 2).mean()) / scale < 1e-5
+
+    # the opt-out flag restores the plain path
+    old = config.EXTENDED_PRECISION_WHITEN
+    try:
+        config.EXTENDED_PRECISION_WHITEN = False
+        caplog.clear()
+        logger.propagate = True
+        with caplog.at_level(logging.INFO, logger="mellon_tpu"):
+            est._compute_L()
+        assert not any("double-single" in r.message for r in caplog.records)
+    finally:
+        config.EXTENDED_PRECISION_WHITEN = old
+        logger.propagate = False
