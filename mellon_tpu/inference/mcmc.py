@@ -171,6 +171,208 @@ def _run_mcmc_compiled(
     )
 
 
+# ---------------------------------------------------------------------------
+# chunked execution: the same three-phase warmup + sampling, split into
+# short program executions with ALL sampler state (chain states, dual-
+# averaging, Welford, mass matrix) carried as device arrays between calls.
+#
+# Why: some execution environments bound a single program execution's
+# duration (the development TPU relay kills the worker on multi-minute
+# programs; r3's "256-chain memory envelope" crash reproduced as exactly
+# this), and long monolithic runs are also unresumable.  Chunking costs one
+# dispatch (~ms) per chunk and gives mid-run checkpointability; each chunk
+# program is compiled once and reused for every chunk of its phase.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_for(potential_fn, algorithm, max_tree_depth, num_leapfrog_steps,
+                potential_args):
+    pot = (
+        (lambda z: potential_fn(z, *potential_args))
+        if potential_args
+        else potential_fn
+    )
+    if algorithm == "nuts":
+        return pot, nuts_kernel(pot, max_tree_depth=max_tree_depth)
+    elif algorithm == "hmc":
+        return pot, hmc_kernel(pot, num_steps=num_leapfrog_steps)
+    raise ValueError(f"Unknown MCMC algorithm: {algorithm}")
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "potential_fn", "algorithm", "max_tree_depth", "num_leapfrog_steps",
+    ),
+)
+def _init_chunked(potential_fn, z0, algorithm, max_tree_depth,
+                  num_leapfrog_steps, *potential_args):
+    pot, _ = _kernel_for(
+        potential_fn, algorithm, max_tree_depth, num_leapfrog_steps,
+        potential_args,
+    )
+    return jax.vmap(lambda z: hmc_init(pot, z))(z0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "potential_fn", "algorithm", "max_tree_depth", "num_leapfrog_steps",
+        "num_steps", "target_accept", "phase",
+    ),
+)
+def _warmup_chunk(
+    potential_fn, states, da, wf, inv_mass, chunk_key, num_steps,
+    algorithm, max_tree_depth, num_leapfrog_steps, target_accept, phase,
+    *potential_args,
+):
+    """``num_steps`` warmup transitions of phase 'a' (step size only,
+    identity mass), 'b' (+ Welford mass accumulation) or 'c' (step-size
+    re-adaptation under the adapted mass)."""
+    _, kernel = _kernel_for(
+        potential_fn, algorithm, max_tree_depth, num_leapfrog_steps,
+        potential_args,
+    )
+    num_chains = states.z.shape[0]
+    batched_kernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
+    dim = states.z.shape[1]
+    identity_mass = jnp.ones(dim)
+    mass = identity_mass if phase in ("a", "b") else inv_mass
+
+    def body(carry, keys):
+        states, da, wf = carry
+        new_states, infos = batched_kernel(
+            states, keys, jnp.exp(da.log_step), mass
+        )
+        da = da_update(da, jnp.mean(infos.accept_prob), target=target_accept)
+        if phase == "b":
+            wf = jax.lax.fori_loop(
+                0,
+                num_chains,
+                lambda i, w: welford_update(w, new_states.z[i]),
+                wf,
+            )
+        return (new_states, da, wf), None
+
+    keys = jax.random.split(chunk_key, (num_steps, states.z.shape[0]))
+    (states, da, wf), _ = jax.lax.scan(body, (states, da, wf), keys)
+    return states, da, wf
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "potential_fn", "algorithm", "max_tree_depth", "num_leapfrog_steps",
+        "num_steps",
+    ),
+)
+def _sample_chunk(
+    potential_fn, states, step_size, inv_mass, chunk_key, num_steps,
+    algorithm, max_tree_depth, num_leapfrog_steps, *potential_args,
+):
+    _, kernel = _kernel_for(
+        potential_fn, algorithm, max_tree_depth, num_leapfrog_steps,
+        potential_args,
+    )
+    batched_kernel = jax.vmap(kernel, in_axes=(0, 0, None, None))
+
+    def body(states, keys):
+        new_states, infos = batched_kernel(states, keys, step_size, inv_mass)
+        out = (
+            new_states.z,
+            new_states.potential,
+            infos.accept_prob,
+            infos.diverging,
+            infos.num_steps,
+        )
+        return new_states, out
+
+    keys = jax.random.split(chunk_key, (num_steps, states.z.shape[0]))
+    states, outs = jax.lax.scan(body, states, keys)
+    return states, outs
+
+
+def _run_mcmc_chunked(
+    potential_fn,
+    z0,
+    key,
+    num_warmup,
+    num_samples,
+    algorithm,
+    max_tree_depth,
+    num_leapfrog_steps,
+    initial_step_size,
+    target_accept,
+    steps_per_call,
+    potential_args,
+):
+    K = int(steps_per_call)
+    states = _init_chunked(
+        potential_fn, z0, algorithm, max_tree_depth, num_leapfrog_steps,
+        *potential_args,
+    )
+    dim = z0.shape[1]
+
+    n_phase_a = max(num_warmup // 10, 1)
+    n_phase_b = max(num_warmup - 2 * n_phase_a, 0)
+    n_phase_c = n_phase_a
+
+    def chunk_sizes(total):
+        sizes = [K] * (total // K)
+        if total % K:
+            sizes.append(total % K)
+        return sizes
+
+    da = da_init(jnp.asarray(initial_step_size))
+    wf = welford_init(dim)
+    inv_mass = jnp.ones(dim)
+
+    common = (algorithm, max_tree_depth, num_leapfrog_steps, target_accept)
+    for phase, total in (("a", n_phase_a), ("b", n_phase_b)):
+        phase_key = jax.random.fold_in(key, {"a": 0, "b": 1}[phase])
+        for ci, size in enumerate(chunk_sizes(total)):
+            states, da, wf = _warmup_chunk(
+                potential_fn, states, da, wf, inv_mass,
+                jax.random.fold_in(phase_key, ci), size, *common, phase,
+                *potential_args,
+            )
+    inv_mass = jnp.where(wf.count > 2, welford_variance(wf), jnp.ones(dim))
+    da = da_init(jnp.exp(da.log_step_avg))
+    phase_key = jax.random.fold_in(key, 2)
+    for ci, size in enumerate(chunk_sizes(n_phase_c)):
+        states, da, wf = _warmup_chunk(
+            potential_fn, states, da, wf, inv_mass,
+            jax.random.fold_in(phase_key, ci), size, *common, "c",
+            *potential_args,
+        )
+    step_size = jnp.exp(da.log_step_avg)
+
+    phase_key = jax.random.fold_in(key, 3)
+    collected = []
+    for ci, size in enumerate(chunk_sizes(num_samples)):
+        states, outs = _sample_chunk(
+            potential_fn, states, step_size, inv_mass,
+            jax.random.fold_in(phase_key, ci), size,
+            algorithm, max_tree_depth, num_leapfrog_steps,
+            *potential_args,
+        )
+        collected.append(outs)
+
+    zs, pots, accepts, divs, steps = (
+        jnp.concatenate([c[i] for c in collected], axis=0)
+        for i in range(5)
+    )
+    return MCMCResult(
+        samples=jnp.moveaxis(zs, 0, 1),
+        potential=jnp.moveaxis(pots, 0, 1),
+        accept_prob=jnp.moveaxis(accepts, 0, 1),
+        diverging=jnp.moveaxis(divs, 0, 1),
+        step_size=step_size,
+        inv_mass_diag=inv_mass,
+        num_leapfrog=jnp.moveaxis(steps, 0, 1),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -291,6 +493,7 @@ def run_mcmc(
     initial_step_size=0.1,
     target_accept=0.8,
     chain_sharding=None,
+    steps_per_call=None,
     potential_args=(),
 ):
     """Sample from exp(-potential_fn) with NUTS or HMC.
@@ -304,6 +507,14 @@ def run_mcmc(
     chain_sharding : optional ``jax.sharding.NamedSharding`` for the chain
         axis; when given, chain states are placed with it so chains run on
         separate devices.
+    steps_per_call : optional int — when set, the run executes as a
+        sequence of short chunk programs of at most this many transitions
+        each, with all sampler state carried on device between calls
+        (instead of one monolithic warmup+sampling program).  Use for
+        long runs on backends that bound a single program execution's
+        duration, and for mid-run checkpointability; the statistical
+        procedure is identical (per-chunk PRNG folding differs from the
+        monolithic key schedule, so draws are not bit-identical).
     potential_args : tuple of arrays passed through to ``potential_fn`` as
         runtime arguments (keeps large operands out of the executable).
 
@@ -317,6 +528,22 @@ def run_mcmc(
         z0 = z0 + 0.1 * jax.random.normal(sub, (num_chains, z0.shape[1]))
     if chain_sharding is not None:
         z0 = jax.device_put(z0, chain_sharding)
+
+    if steps_per_call is not None:
+        return _run_mcmc_chunked(
+            potential_fn,
+            z0,
+            key,
+            int(num_warmup),
+            int(num_samples),
+            algorithm,
+            int(max_tree_depth),
+            int(num_leapfrog_steps),
+            jnp.asarray(initial_step_size),
+            float(target_accept),
+            int(steps_per_call),
+            tuple(potential_args),
+        )
 
     return _run_mcmc_compiled(
         potential_fn,

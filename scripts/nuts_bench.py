@@ -161,14 +161,16 @@ def _roofline(n, m, num_chains, est_total_lf, t_total, itemsize):
 
 
 def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
-         num_chains=64, precision="f32", prepared=False):
+         num_chains=64, precision="f32", prepared=False, chunk=None,
+         depth=7):
     from mellon_tpu.inference.losses import density_loss
     from mellon_tpu.inference.mcmc import run_mcmc
 
     log(
         f"devices: {jax.devices()}  n={n:,} m={m:,} chains={num_chains} "
         f"warmup={num_warmup} draws={num_samples} "
-        f"mode={'prepared' if prepared else 'synthetic'}"
+        f"mode={'prepared' if prepared else 'synthetic'} "
+        f"chunk={chunk} max_tree_depth={depth}"
     )
 
     if prepared:
@@ -226,8 +228,9 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
             num_warmup=num_warmup,
             num_samples=num_samples,
             num_chains=num_chains,
-            max_tree_depth=7,
+            max_tree_depth=depth,
             initial_step_size=0.05,
+            steps_per_call=chunk,
             potential_args=potential_args,
         )
 
@@ -252,5 +255,14 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     precision = next((a for a in argv if a in ("f32", "bf16")), "f32")
     prepared = "prepared" in argv
-    nums = [int(a) for a in argv if a not in ("f32", "bf16", "prepared")]
-    main(*nums, precision=precision, prepared=prepared)
+    kw = {}
+    for a in argv:
+        if a.startswith("chunk="):
+            kw["chunk"] = int(a.split("=")[1])
+        elif a.startswith("depth="):
+            kw["depth"] = int(a.split("=")[1])
+    nums = [
+        int(a) for a in argv
+        if a not in ("f32", "bf16", "prepared") and "=" not in a
+    ]
+    main(*nums, precision=precision, prepared=prepared, **kw)

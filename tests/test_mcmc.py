@@ -430,3 +430,48 @@ def test_estimator_sampler_options_validation():
     # whole-valued floats and genuine floats for float options are fine
     DensityEstimator(sampler_options={"num_chains": 4.0})
     DensityEstimator(sampler_options={"target_accept": 0.9})
+
+
+def test_chunked_execution_matches_monolithic(gaussian_target):
+    """steps_per_call splits the run into short chunk programs with sampler
+    state carried on device; the posterior estimates must agree with the
+    monolithic program (same procedure, different PRNG folding) and the
+    warmup products (step size, mass matrix) must be close."""
+    pot, mean, cov = gaussian_target
+    kwargs = dict(
+        num_warmup=300,
+        num_samples=600,
+        num_chains=4,
+        initial_step_size=0.2,
+    )
+    mono = run_mcmc(pot, jnp.zeros(2), jax.random.PRNGKey(0), **kwargs)
+    # chunk size that does NOT divide the phase lengths (30/240/30/600):
+    # exercises the remainder-chunk programs too
+    chunked = run_mcmc(
+        pot, jnp.zeros(2), jax.random.PRNGKey(0), steps_per_call=64, **kwargs
+    )
+
+    for res in (mono, chunked):
+        assert res.samples.shape == (4, 600, 2)
+        assert np.isfinite(np.asarray(res.samples)).all()
+
+    flat_m = np.asarray(mono.samples).reshape(-1, 2)
+    flat_c = np.asarray(chunked.samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat_c.mean(axis=0), mean, atol=0.15)
+    np.testing.assert_allclose(
+        np.cov(flat_c.T), cov, atol=0.4
+    )
+    np.testing.assert_allclose(
+        flat_c.mean(axis=0), flat_m.mean(axis=0), atol=0.15
+    )
+    # adapted warmup products agree to sampling noise
+    assert float(chunked.step_size) == pytest.approx(
+        float(mono.step_size), rel=0.6
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked.inv_mass_diag),
+        np.asarray(mono.inv_mass_diag),
+        rtol=0.6,
+    )
+    rhat = split_rhat(np.asarray(chunked.samples))
+    assert rhat.max() < 1.05
