@@ -361,6 +361,9 @@ def _batched_ls_time_densities(
         L_stack = L_stack.at[jnp.asarray(bad_idx)].set(
             jnp.asarray(fixed, dtype=L_stack.dtype)
         )
+        rescued_f64 = (bad_idx, fixed)
+    else:
+        rescued_f64 = None
 
     z0 = ridge(L_stack, mask, mle_g - mu_t[:, None])
     # rescued factors can be ill-conditioned enough that the f32 ridge
@@ -401,6 +404,39 @@ def _batched_ls_time_densities(
         return jax.lax.map(one, (xg, L_stack, Z, ls_t, mu_t))
 
     dens = predict(states, xg, L_stack, Z, ls_t, mu_t)
+    if rescued_f64 is not None:
+        # extended-precision predict for the host-f64-rescued groups: their
+        # factors are ill-conditioned enough that the f32 triangular solve
+        # w = L⁻ᵀz and the f32 product K_s w amplify rounding by ~cond(L)
+        # — the drift behind the r3 ls_time accuracy gap at the d=2 bench
+        # shape (PERFORMANCE.md).  The tiny (n_pad,) solve runs on the host
+        # in f64; the big (n, n_pad) product runs on device as a
+        # double-single matmul.
+        import scipy.linalg as sla
+
+        from ..ops.extended_precision import ds_from_f64, ds_matmul
+
+        bad_idx_r, fixed_r = rescued_f64
+        logger.info(
+            "Extended-precision (double-single) predict for %d host-f64-"
+            "rescued time group(s).",
+            len(bad_idx_r),
+        )
+        Z_host = np.asarray(jax.device_get(Z), dtype=np.float64)
+        mu_host_r = np.asarray(jax.device_get(mu_t), dtype=np.float64)
+        rows = []
+        for j_g, g in enumerate(bad_idx_r):
+            w64 = sla.solve_triangular(
+                fixed_r[j_g].T, Z_host[g], lower=False
+            )
+            w_hi, w_lo = ds_from_f64(w64[:, None])
+            Ks = eval_operand_spec(
+                spec, (jnp.asarray(ls_t[g]),), states, xg[g]
+            )
+            rows.append(mu_host_r[g] + ds_matmul(Ks, w_hi, w_lo)[:, 0])
+        dens = dens.at[jnp.asarray(np.asarray(bad_idx_r))].set(
+            jnp.stack(rows).astype(dens.dtype)
+        )
     if not bool(jnp.all(jnp.isfinite(dens))):
         # the cross-time correlation of a non-finite density row would turn
         # the whole ls_time fit into NaN; the exact loop is always valid

@@ -545,3 +545,71 @@ def test_batched_ls_time_nonfinite_falls_back_to_loop(data, monkeypatch, caplog)
     assert calls["n"] == 2  # initial attempt + zero-init retry
     assert any("falling back to the exact per-time loop" in r.message
                for r in caplog.records)
+
+
+def test_batched_ls_time_f32_rescue_uses_extended_precision(caplog):
+    """f32 time-group kernels that defeat the jitter ladder take the
+    host-f64 rescue, and the rescued groups' densities run through the
+    extended-precision (double-single) predict; the f32 result must
+    reproduce the f64 batched densities.
+
+    Driven through _batched_ls_time_densities directly: the public
+    compute_ls_time validates (and, in the x64 test env, promotes) its
+    inputs, so genuine f32 numerics cannot be staged through it here.
+    """
+    import logging
+
+    from mellon_tpu.models import ls_time as lt
+    from mellon_tpu.ops.kernels import Matern52
+    from mellon_tpu.parameters import compute_nn_distances_within_time_points
+
+    rs = np.random.RandomState(0)
+    T, per, d = 4, 120, 2
+    # near-duplicate clusters + a saturating given ls: f32-singular
+    # kernels; jitter far below f32 resolution keeps the in-ladder
+    # escalation (x10, three tries) below the conditioning, as the 98k
+    # d=2 bench shape does at full scale with the default jitter
+    base = rs.randn(12, d) * 0.02
+    xs, ts = [], []
+    for t in range(T):
+        pts = base[rs.randint(0, 12, per)] + 2e-4 * rs.randn(per, d)
+        xs.append(pts + 0.005 * t)
+        ts.append(np.full(per, float(t)))
+    x32 = jnp.asarray(np.concatenate(xs), jnp.float32)
+    t32 = jnp.asarray(np.concatenate(ts), jnp.float32)
+    xt32 = jnp.concatenate([x32, t32[:, None]], axis=1)
+    nn32 = jnp.asarray(
+        np.asarray(compute_nn_distances_within_time_points(xt32)), jnp.float32
+    )
+    ut = np.unique(np.asarray(t32))
+    kw = dict(jitter=1e-15, ls=1.0)
+
+    logger = logging.getLogger("mellon_tpu")
+    logger.propagate = True
+    try:
+        with caplog.at_level(logging.INFO, logger="mellon_tpu"):
+            dens32 = lt._batched_ls_time_densities(
+                xt32, nn32, Matern52, kw, ut, 500
+            )
+    finally:
+        logger.propagate = False
+    msgs = [r.message for r in caplog.records]
+    assert any("factorizing those groups on the host" in m for m in msgs)
+    assert any("double-single" in m for m in msgs), (
+        "extended-precision predict did not engage for rescued groups"
+    )
+    assert dens32 is not None and dens32.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(dens32)))
+
+    # f64 ground truth: the same batched procedure on promoted inputs
+    # (factorizes on device in f64, no rescue)
+    dens64 = lt._batched_ls_time_densities(
+        xt32.astype(jnp.float64), nn32.astype(jnp.float64), Matern52, kw,
+        ut, 500,
+    )
+    assert dens64 is not None and dens64.dtype == jnp.float64
+    d32 = np.asarray(dens32, np.float64)
+    d64 = np.asarray(dens64)
+    for g in range(T):
+        c = np.corrcoef(d32[g], d64[g])[0, 1]
+        assert c > 0.99, f"group {g}: corr {c} vs f64 batched densities"
