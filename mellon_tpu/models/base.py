@@ -67,6 +67,10 @@ _NUTS_OPTION_KEYS = {
     "target_accept",
     "max_tree_depth",
     "initial_step_size",
+    # chunked execution: bound each program execution to this many
+    # transitions (run_mcmc steps_per_call) — required for long runs on
+    # backends that bound a single execution's duration
+    "steps_per_call",
 }
 _SMC_OPTION_KEYS = {
     "num_particles",
@@ -91,6 +95,7 @@ _INT_SAMPLER_OPTION_KEYS = {
     "num_mutation_steps",
     "num_leapfrog_steps",
     "max_stages",
+    "steps_per_call",
 }
 
 logger = logging.getLogger("mellon_tpu")
@@ -670,6 +675,11 @@ class BaseEstimator:
                 target_accept=float(opts["target_accept"]),
                 max_tree_depth=int(opts["max_tree_depth"]),
                 initial_step_size=float(opts["initial_step_size"]),
+                steps_per_call=(
+                    int(opts["steps_per_call"])
+                    if opts.get("steps_per_call") is not None
+                    else None
+                ),
                 potential_args=loss_args,
             )
             result.samples.block_until_ready()

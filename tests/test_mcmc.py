@@ -475,3 +475,24 @@ def test_chunked_execution_matches_monolithic(gaussian_target):
     )
     rhat = split_rhat(np.asarray(chunked.samples))
     assert rhat.max() < 1.05
+
+
+def test_estimator_nuts_steps_per_call_option():
+    """sampler_options={'steps_per_call': K} routes the estimator's NUTS
+    fit through the chunked driver."""
+    from mellon_tpu import DensityEstimator
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (60, 2))
+    est = DensityEstimator(
+        n_landmarks=20,
+        optimizer="nuts",
+        sampler_options={
+            "num_warmup": 60,
+            "num_samples": 60,
+            "num_chains": 2,
+            "steps_per_call": 16,
+        },
+    )
+    ld = est.fit_predict(x)
+    assert np.isfinite(np.asarray(ld)).all()
+    assert est.posterior_samples.shape[1] == 60
