@@ -363,8 +363,21 @@ class BaseEstimator:
                 "host in float64.",
                 self.landmarks.shape[0],
             )
+            # rebuild the landmark kernel on the host in f64 from its
+            # coordinates when the kernel structure supports it: at this
+            # conditioning even the f32 ROUNDING of the kernel values
+            # (~6e-8) perturbs the factorization materially (round-4
+            # B-mode experiment)
+            K_for_chol = K
             try:
-                L_host64 = host_cholesky_f64(K, jitter=self.jitter)
+                from ..ops.extended_precision import host_spec_kernel_f64
+
+                spec, params = self.cov_func.operand_spec()
+                K_for_chol = host_spec_kernel_f64(spec, params, self.landmarks)
+            except (NotImplementedError, AttributeError):
+                pass
+            try:
+                L_host64 = host_cholesky_f64(K_for_chol, jitter=self.jitter)
             except np.linalg.LinAlgError:
                 return safe_cholesky(K, jitter=self.jitter, max_tries=3)
             # keep the f64 factor: _compute_L whitens through its

@@ -963,8 +963,18 @@ def _finish_factorization(est, x, xu, K, Lp, ok, x64, run_ok, run_prune, pivot=N
             "float64.",
             k,
         )
+        # rebuild K on the host in f64 from coordinates when the kernel
+        # structure supports it (see BaseEstimator._lp_accept_or_prune)
+        K_for_chol = K
         try:
-            L_host64 = host_cholesky_f64(K, jitter=est.jitter)
+            from ..ops.extended_precision import host_spec_kernel_f64
+
+            spec_h, params_h = est.cov_func.operand_spec()
+            K_for_chol = host_spec_kernel_f64(spec_h, params_h, xu)
+        except (NotImplementedError, AttributeError):
+            pass
+        try:
+            L_host64 = host_cholesky_f64(K_for_chol, jitter=est.jitter)
         except _np.linalg.LinAlgError:
             est.Lp = safe_cholesky(K, jitter=est.jitter, max_tries=3)
             return

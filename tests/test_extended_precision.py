@@ -117,13 +117,32 @@ def test_whiten_with_hostf64_matches_f64_trsm():
     )
     xj = jnp.asarray(x, jnp.float32)
     xuj = jnp.asarray(xu, jnp.float32)
-    C = np.asarray(cov(xj, xuj), np.float64)
-    ref = sla.solve_triangular(Lp64, C.T, lower=True).T
+    # fully-f64 reference: the kernel VALUES are evaluated in f64 too —
+    # the whitening path evaluates C in double-single arithmetic, so the
+    # f32-rounded kernel is NOT the right comparison target
+    from mellon_tpu.ops.extended_precision import host_spec_kernel_f64
+
+    spec, params = cov.operand_spec()
+    C64 = host_spec_kernel_f64(spec, params, xj, xuj)
+    ref = sla.solve_triangular(Lp64, C64.T, lower=True).T
     out = np.asarray(
         whiten_with_hostf64(xj, cov, xuj, Lp64, block_rows=256), np.float64
     )
     scale = np.sqrt((ref**2).mean())
     assert np.sqrt(((out - ref) ** 2).mean()) / scale < 1e-5
+    # and it must beat the f32-kernel + f32-TRSM route by far
+    C32 = np.asarray(cov(xj, xuj), np.float64)
+    f32route = np.asarray(
+        jax.scipy.linalg.solve_triangular(
+            jnp.asarray(Lp64.astype(np.float32)),
+            jnp.asarray(C32, jnp.float32).T,
+            lower=True,
+        ).T,
+        np.float64,
+    )
+    err_f32 = np.sqrt(((f32route - ref) ** 2).mean()) / scale
+    err_ds = np.sqrt(((out - ref) ** 2).mean()) / scale
+    assert err_ds < err_f32 / 50
 
 
 def test_compute_L_uses_extended_precision_hook(caplog):
@@ -158,8 +177,11 @@ def test_compute_L_uses_extended_precision_hook(caplog):
         "double-single" in r.message for r in caplog.records
     ), "extended-precision whitening did not engage"
 
-    C = np.asarray(est.cov_func(est.x, est.landmarks), np.float64)
-    ref = sla.solve_triangular(Lp64, C.T, lower=True).T
+    from mellon_tpu.ops.extended_precision import host_spec_kernel_f64
+
+    spec, params = est.cov_func.operand_spec()
+    C64 = host_spec_kernel_f64(spec, params, est.x, est.landmarks)
+    ref = sla.solve_triangular(Lp64, C64.T, lower=True).T
     scale = np.sqrt((ref**2).mean())
     assert np.sqrt(((np.asarray(L, np.float64) - ref) ** 2).mean()) / scale < 1e-5
 
