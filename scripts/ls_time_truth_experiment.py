@@ -90,8 +90,15 @@ def main():
                 mode,
             )
         )
+        env = dict(os.environ)
+        if mode == "f64_loop":
+            # the ground-truth leg always runs the CPU-f64 pipeline, even
+            # when the experiment is launched from the TPU campaign env
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env.pop("JAX_PLATFORMS", None)
         r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env,
         )
         for line in r.stdout.splitlines():
             if line.startswith("RESULT"):

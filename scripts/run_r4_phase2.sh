@@ -22,7 +22,11 @@ run 4200 hostf64_L_v2 python hostf64_L_experiment.py
 # 2. 512-chain chunked probe (single-chip chain-width peak + MXU)
 run 2400 probe_512_chunked python nuts_bench.py 100000 5000 20 20 512 chunk=10
 
-# 3. ls_time truth rerun with the ds predict for rescued groups
+# 3. ls_time at the d=2 bench shape with the ds predict for rescued
+#    groups (f64 ground truth from r3 on this exact dataset: 24.52;
+#    r3 TPU batched measured 19.55)
+run 5400 ls_time_bench_d2 python ls_time_bench.py 2
+# 3b. medium forced-rescue truth experiment (all three paths)
 run 3600 ls_time_truth python ls_time_truth_experiment.py
 
 # 4. TPU contract tests (committed pass record — VERDICT r3 Missing #4)
