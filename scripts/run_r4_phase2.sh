@@ -22,6 +22,12 @@ run 4200 hostf64_L_v2 python hostf64_L_experiment.py
 # 2. 512-chain chunked probe (single-chip chain-width peak + MXU)
 run 2400 probe_512_chunked python nuts_bench.py 100000 5000 20 20 512 chunk=10
 
+# 2b. synthetic 100k x 5k with depth-10 trees: the 500/1000 depth-7 run
+#     proved every tree maxes out (127 leapfrogs/draw exactly, Rhat ~2000
+#     — capped trajectories random-walk); deeper trees let the
+#     trajectories U-turn so ESS becomes measurable
+run 5400 nuts_128_synth_d10 python nuts_bench.py 100000 5000 200 200 128 chunk=5 depth=10
+
 # 3. ls_time at the d=2 bench shape with the ds predict for rescued
 #    groups (f64 ground truth from r3 on this exact dataset: 24.52;
 #    r3 TPU batched measured 19.55)
