@@ -49,6 +49,18 @@ def main(seed=43):
         ls_time=0.375, random_state=seed
     )
     ld = est.fit_predict(x, t)
+    # persist the f64 prepare's intermediates: a matched-inputs TPU fit
+    # (landmarks/nn/ls injected) isolates "f32 heuristic inputs" from
+    # "f32 arithmetic" if the seed floor turns out to be tight
+    np.savez_compressed(
+        f"/root/repo/benchdata/f64_prepare_time98k_seed{seed}.npz",
+        landmarks=np.asarray(est.landmarks, np.float64),
+        nn_distances=np.asarray(est.nn_distances, np.float64),
+        ls=np.float64(est.ls),
+        mu=np.float64(est.mu),
+        d=np.float64(est.d),
+        log_density=np.asarray(ld, np.float64),
+    )
     ld = np.asarray(ld, dtype=np.float64)
     c = float(np.corrcoef(ld, ref)[0, 1])
     rmse = float(np.sqrt(np.mean((ld - ref) ** 2)) / (ref.max() - ref.min()))
