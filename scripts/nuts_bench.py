@@ -162,15 +162,20 @@ def _roofline(n, m, num_chains, est_total_lf, t_total, itemsize):
 
 def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
          num_chains=64, precision="f32", prepared=False, chunk=None,
-         depth=7):
+         depth=7, precond=False):
     from mellon_tpu.inference.losses import density_loss
-    from mellon_tpu.inference.mcmc import run_mcmc
+    from mellon_tpu.inference.mcmc import (
+        hessian_cholesky,
+        preconditioned_potential,
+        run_mcmc,
+        unwhiten_samples,
+    )
 
     log(
         f"devices: {jax.devices()}  n={n:,} m={m:,} chains={num_chains} "
         f"warmup={num_warmup} draws={num_samples} "
         f"mode={'prepared' if prepared else 'synthetic'} "
-        f"chunk={chunk} max_tree_depth={depth}"
+        f"chunk={chunk} max_tree_depth={depth} precond={precond}"
     )
 
     if prepared:
@@ -220,10 +225,29 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
         m_eff = m
         L_itemsize = L.dtype.itemsize
 
+    if precond:
+        # dense-metric sampling: MAP-Hessian Cholesky transform (the
+        # diagonal-mass runs max out every tree at this posterior's
+        # conditioning — see PERFORMANCE.md round-4 north-star section)
+        t0 = time.time()
+        R = hessian_cholesky(
+            density_loss if not prepared else potential_fn,
+            z0, jnp.asarray(1e-6, jnp.float32), *potential_args,
+        )
+        jax.device_get(R[:1, :1])
+        log(f"MAP-Hessian Cholesky ({z0.shape[-1]}x{z0.shape[-1]}): "
+            f"{time.time()-t0:.1f}s")
+        pot_w = preconditioned_potential(potential_fn)
+        z_map, z0_run = z0, jnp.zeros_like(z0)
+        run_args = (R, z_map) + tuple(potential_args)
+        run_pot = pot_w
+    else:
+        z0_run, run_args, run_pot = z0, tuple(potential_args), potential_fn
+
     def sample(seed):
-        return run_mcmc(
-            potential_fn,
-            z0,
+        result = run_mcmc(
+            run_pot,
+            z0_run,
             jax.random.PRNGKey(seed),
             num_warmup=num_warmup,
             num_samples=num_samples,
@@ -231,8 +255,13 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
             max_tree_depth=depth,
             initial_step_size=0.05,
             steps_per_call=chunk,
-            potential_args=potential_args,
+            potential_args=run_args,
         )
+        if precond:
+            result = result._replace(
+                samples=unwhiten_samples(result.samples, R, z_map)
+            )
+        return result
 
     t0 = time.time()
     result = sample(1)
@@ -261,8 +290,9 @@ if __name__ == "__main__":
             kw["chunk"] = int(a.split("=")[1])
         elif a.startswith("depth="):
             kw["depth"] = int(a.split("=")[1])
+    kw["precond"] = "precond" in argv
     nums = [
         int(a) for a in argv
-        if a not in ("f32", "bf16", "prepared") and "=" not in a
+        if a not in ("f32", "bf16", "prepared", "precond") and "=" not in a
     ]
     main(*nums, precision=precision, prepared=prepared, **kw)

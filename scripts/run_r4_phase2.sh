@@ -19,14 +19,16 @@ run() {
 #    host-f64 K + ds kernel eval + ds GEMM fully integrated)
 run 4200 hostf64_L_v2 python hostf64_L_experiment.py
 
-# 2. 512-chain chunked probe (single-chip chain-width peak + MXU)
-run 2400 probe_512_chunked python nuts_bench.py 100000 5000 20 20 512 chunk=10
+# 2. THE north-star runs: MAP-Hessian-preconditioned NUTS.  Diagonal
+#    mass cannot handle this posterior (every tree maxes out at depth 7
+#    AND depth 10, Rhat >> 1); the dense-metric transform makes the
+#    target near-N(0, I), so ESS becomes a real measurement.
+run 4500 nuts_128_prep_precond python nuts_bench.py 100000 5000 500 1000 128 prepared precond chunk=25 depth=10
+run 4500 nuts_64_prep_precond  python nuts_bench.py 100000 5000 500 1000 64 prepared precond chunk=25 depth=10
+run 5400 nuts_128_synth_precond python nuts_bench.py 100000 5000 300 500 128 precond chunk=25 depth=10
 
-# 2b. synthetic 100k x 5k with depth-10 trees: the 500/1000 depth-7 run
-#     proved every tree maxes out (127 leapfrogs/draw exactly, Rhat ~2000
-#     — capped trajectories random-walk); deeper trees let the
-#     trajectories U-turn so ESS becomes measurable
-run 5400 nuts_128_synth_d10 python nuts_bench.py 100000 5000 200 200 128 chunk=5 depth=10
+# 2b. 512-chain chunked probe (single-chip chain-width peak + MXU)
+run 2400 probe_512_chunked python nuts_bench.py 100000 5000 20 20 512 chunk=10
 
 # 3. ls_time at the d=2 bench shape with the ds predict for rescued
 #    groups (f64 ground truth from r3 on this exact dataset: 24.52;

@@ -496,3 +496,65 @@ def test_estimator_nuts_steps_per_call_option():
     ld = est.fit_predict(x)
     assert np.isfinite(np.asarray(ld)).all()
     assert est.posterior_samples.shape[1] == 60
+
+
+def test_hessian_preconditioned_sampling_fixes_ill_conditioning():
+    """On a badly-scaled correlated Gaussian, diagonal-mass NUTS with a
+    shallow depth cap random-walks (trees max out), while the MAP-Hessian
+    preconditioner makes the target near-isotropic: trees turn early,
+    Rhat converges and the posterior matches the analytic moments."""
+    from mellon_tpu.inference.mcmc import (
+        hessian_cholesky,
+        preconditioned_potential,
+        unwhiten_samples,
+    )
+
+    rs = np.random.RandomState(0)
+    dim = 24
+    # strongly correlated covariance with ~1e6 condition number (the f32
+    # Hessian Cholesky handles ~1/sqrt(eps_f32) conditioning)
+    Q, _ = np.linalg.qr(rs.randn(dim, dim))
+    scales = np.logspace(-1.5, 1.5, dim)
+    cov = (Q * scales**2) @ Q.T
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+    mean = jnp.asarray(rs.randn(dim), jnp.float32)
+
+    def pot(z, prec, mean):
+        d = z - mean
+        return 0.5 * d @ prec @ d
+
+    args = (prec, mean)
+    R = hessian_cholesky(pot, mean, jnp.asarray(1e-10, jnp.float32), *args)
+    # R Rᵀ must reproduce the precision matrix
+    np.testing.assert_allclose(
+        np.asarray(R @ R.T), np.asarray(prec), rtol=2e-3, atol=1e-4
+    )
+
+    pot_w = preconditioned_potential(pot)
+    res = run_mcmc(
+        pot_w,
+        jnp.zeros(dim),
+        jax.random.PRNGKey(0),
+        num_warmup=300,
+        num_samples=600,
+        num_chains=4,
+        max_tree_depth=6,
+        potential_args=(R, mean) + args,
+    )
+    assert int(np.asarray(res.diverging).sum()) == 0
+    # trees turn: far below the 63-leapfrog depth-6 cap on average
+    lf_per_draw = float(np.asarray(res.num_leapfrog).mean())
+    assert lf_per_draw < 40
+    z = unwhiten_samples(res.samples, R, mean)
+    flat = np.asarray(z).reshape(-1, dim)
+    rhat = split_rhat(np.asarray(z))
+    assert rhat.max() < 1.05
+    # moments of the worst-scaled directions match analytically
+    proj = flat @ np.asarray(Q)
+    np.testing.assert_allclose(
+        proj.std(axis=0), scales, rtol=0.35
+    )
+    np.testing.assert_allclose(
+        flat.mean(axis=0), np.asarray(mean),
+        atol=3 * scales.max() / np.sqrt(len(flat) / 50),
+    )
