@@ -71,6 +71,10 @@ _NUTS_OPTION_KEYS = {
     # transitions (run_mcmc steps_per_call) — required for long runs on
     # backends that bound a single execution's duration
     "steps_per_call",
+    # dense-metric sampling: "hessian" preconditions the potential with
+    # the MAP-Hessian Cholesky (the density posterior's scale spread
+    # defeats diagonal mass adaptation at scale)
+    "precondition",
 }
 _SMC_OPTION_KEYS = {
     "num_particles",
@@ -82,7 +86,10 @@ _SMC_OPTION_KEYS = {
     "start",
 }
 # string-valued options with their allowed values
-_STR_SAMPLER_OPTIONS = {"start": ("prior", "laplace")}
+_STR_SAMPLER_OPTIONS = {
+    "start": ("prior", "laplace"),
+    "precondition": ("hessian",),
+}
 _SAMPLER_OPTION_KEYS = _NUTS_OPTION_KEYS | _SMC_OPTION_KEYS
 # count-valued options: the sampler paths int()-cast these, so accepting
 # 0.5 here would silently become 0 chains/particles downstream
@@ -668,6 +675,7 @@ class BaseEstimator:
                 "max_tree_depth": 10,
                 "initial_step_size": 0.1,
             }
+            precondition = self.sampler_options.get("precondition")
             opts.update(
                 {
                     k: v
@@ -675,6 +683,23 @@ class BaseEstimator:
                     if k in _NUTS_OPTION_KEYS
                 }
             )
+            if precondition == "hessian":
+                from ..inference.mcmc import (
+                    hessian_cholesky,
+                    preconditioned_potential,
+                )
+
+                R_pre = hessian_cholesky(
+                    mcmc_loss,
+                    mcmc_z0,
+                    _jnp.asarray(self.jitter, mcmc_z0.dtype),
+                    *loss_args,
+                )
+                z_map_pre = mcmc_z0
+                mcmc_loss = preconditioned_potential(mcmc_loss)
+                loss_args = (R_pre, z_map_pre) + tuple(loss_args)
+                mcmc_z0 = _jnp.zeros_like(mcmc_z0)
+
             import time as _time
 
             t0 = _time.perf_counter()
@@ -697,6 +722,14 @@ class BaseEstimator:
             )
             result.samples.block_until_ready()
             self.sampling_time = _time.perf_counter() - t0
+            if precondition == "hessian":
+                # draws were taken in w = Rᵀ(z - z*) coordinates; map back
+                # to the model's latents before any downstream use
+                from ..inference.mcmc import unwhiten_samples
+
+                result = result._replace(
+                    samples=unwhiten_samples(result.samples, R_pre, z_map_pre)
+                )
             flat = result.samples.reshape((-1,) + result.samples.shape[2:])
             self.pre_transformation = flat.mean(axis=0).reshape(latent_shape)
             self.pre_transformation_std = flat.std(axis=0).reshape(latent_shape)

@@ -558,3 +558,33 @@ def test_hessian_preconditioned_sampling_fixes_ill_conditioning():
         flat.mean(axis=0), np.asarray(mean),
         atol=3 * scales.max() / np.sqrt(len(flat) / 50),
     )
+
+
+def test_estimator_nuts_precondition_option():
+    """sampler_options={'precondition': 'hessian'} fits through the
+    dense-metric transform and returns z-space draws whose field matches
+    the plain NUTS fit."""
+    from mellon_tpu import DensityEstimator
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (80, 2))
+    plain = DensityEstimator(
+        n_landmarks=24, optimizer="nuts",
+        sampler_options={"num_warmup": 100, "num_samples": 150,
+                         "num_chains": 2},
+    )
+    ld_plain = np.asarray(plain.fit_predict(x))
+    pre = DensityEstimator(
+        n_landmarks=24, optimizer="nuts",
+        sampler_options={"num_warmup": 100, "num_samples": 150,
+                         "num_chains": 2, "precondition": "hessian"},
+    )
+    ld_pre = np.asarray(pre.fit_predict(x))
+    assert np.isfinite(ld_pre).all()
+    assert np.corrcoef(ld_pre, ld_plain)[0, 1] > 0.95
+    # posterior_samples are z-space: their mean field must track the fit
+    assert pre.posterior_samples.shape[:2] == (2, 150)
+
+    with pytest.raises(ValueError, match="must be one of"):
+        DensityEstimator(
+            optimizer="nuts", sampler_options={"precondition": "dense"}
+        )
