@@ -614,6 +614,7 @@ def sample_density_posterior(
         R = hessian_cholesky(
             potential_fn, z0, jnp.asarray(1e-6, z0.dtype), *potential_args
         )
+        T = precondition_transform(R)
         pot_w = preconditioned_potential(potential_fn)
         result = run_mcmc(
             pot_w,
@@ -623,12 +624,12 @@ def sample_density_posterior(
             num_samples=num_samples,
             num_chains=num_chains,
             algorithm=algorithm,
-            potential_args=(R, z0) + tuple(potential_args),
+            potential_args=(T, z0) + tuple(potential_args),
             **kwargs,
         )
         # report draws in z-space (the model's latents)
         result = result._replace(
-            samples=unwhiten_samples(result.samples, R, z0)
+            samples=unwhiten_samples(result.samples, T, z0)
         )
     elif precondition is not None:
         raise ValueError(
@@ -719,33 +720,41 @@ def hessian_cholesky(potential_fn, z_map, jitter, *potential_args,
     return _hessian_finish(H, jnp.asarray(jitter, z_map.dtype))
 
 
-@functools.lru_cache(maxsize=None)
-def preconditioned_potential(potential_fn):
-    """Wrap ``potential_fn(z, *args)`` as ``pot(w, R, z_map, *args)`` with
-    z = z_map + R⁻ᵀ w.  Cached so the wrapper has a stable identity per
-    base potential (one compiled sampler program per model family)."""
+@jax.jit
+def precondition_transform(R):
+    """T = R⁻ᵀ as an explicit matrix: the per-leapfrog coordinate map
+    becomes one m×m MATMUL per chain batch (MXU) instead of a triangular
+    solve (whose blocked-panel lowering is far off matmul peak).  The
+    MAP Hessian is only ~1e3-1e6 conditioned — nothing like the kernel
+    matrices — so the f32 explicit inverse is safe here."""
     from jax.scipy.linalg import solve_triangular
 
-    def pot(w, R, z_map, *args):
-        z = z_map + solve_triangular(R.T, w, lower=False)
+    eye = jnp.eye(R.shape[0], dtype=R.dtype)
+    return solve_triangular(R.T, eye, lower=False)
+
+
+@functools.lru_cache(maxsize=None)
+def preconditioned_potential(potential_fn):
+    """Wrap ``potential_fn(z, *args)`` as ``pot(w, T, z_map, *args)`` with
+    z = z_map + T w and T = R⁻ᵀ (see :func:`precondition_transform`).
+    Cached so the wrapper has a stable identity per base potential (one
+    compiled sampler program per model family)."""
+
+    def pot(w, T, z_map, *args):
+        z = z_map + T @ w
         return potential_fn(z, *args)
 
     return pot
 
 
-def unwhiten_samples(samples_w, R, z_map, block=65536):
-    """Map w-space draws back to z: z = z_map + R⁻ᵀ w, blocked over the
+def unwhiten_samples(samples_w, T, z_map, block=65536):
+    """Map w-space draws back to z: z = z_map + T w, blocked over the
     flattened draw axis."""
-    from jax.scipy.linalg import solve_triangular
-
     shape = samples_w.shape
     flat = samples_w.reshape(-1, shape[-1])
     outs = []
     for s in range(0, flat.shape[0], block):
         wb = flat[s : s + block]
-        outs.append(
-            z_map[None, :]
-            + solve_triangular(R.T, wb.T, lower=False).T
-        )
+        outs.append(z_map[None, :] + (wb @ T.T))
     flat_z = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return flat_z.reshape(shape)

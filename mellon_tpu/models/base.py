@@ -686,14 +686,17 @@ class BaseEstimator:
             if precondition == "hessian":
                 from ..inference.mcmc import (
                     hessian_cholesky,
+                    precondition_transform,
                     preconditioned_potential,
                 )
 
-                R_pre = hessian_cholesky(
-                    mcmc_loss,
-                    mcmc_z0,
-                    _jnp.asarray(self.jitter, mcmc_z0.dtype),
-                    *loss_args,
+                R_pre = precondition_transform(
+                    hessian_cholesky(
+                        mcmc_loss,
+                        mcmc_z0,
+                        _jnp.asarray(self.jitter, mcmc_z0.dtype),
+                        *loss_args,
+                    )
                 )
                 z_map_pre = mcmc_z0
                 mcmc_loss = preconditioned_potential(mcmc_loss)

@@ -166,6 +166,7 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
     from mellon_tpu.inference.losses import density_loss
     from mellon_tpu.inference.mcmc import (
         hessian_cholesky,
+        precondition_transform,
         preconditioned_potential,
         run_mcmc,
         unwhiten_samples,
@@ -230,13 +231,13 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
         # diagonal-mass runs max out every tree at this posterior's
         # conditioning — see PERFORMANCE.md round-4 north-star section)
         t0 = time.time()
-        R = hessian_cholesky(
+        R = precondition_transform(hessian_cholesky(
             density_loss if not prepared else potential_fn,
             z0, jnp.asarray(1e-6, jnp.float32), *potential_args,
-        )
+        ))
         jax.device_get(R[:1, :1])
-        log(f"MAP-Hessian Cholesky ({z0.shape[-1]}x{z0.shape[-1]}): "
-            f"{time.time()-t0:.1f}s")
+        log(f"MAP-Hessian Cholesky + inverse ({z0.shape[-1]}x"
+            f"{z0.shape[-1]}): {time.time()-t0:.1f}s")
         pot_w = preconditioned_potential(potential_fn)
         z_map, z0_run = z0, jnp.zeros_like(z0)
         run_args = (R, z_map) + tuple(potential_args)

@@ -505,6 +505,7 @@ def test_hessian_preconditioned_sampling_fixes_ill_conditioning():
     Rhat converges and the posterior matches the analytic moments."""
     from mellon_tpu.inference.mcmc import (
         hessian_cholesky,
+        precondition_transform,
         preconditioned_potential,
         unwhiten_samples,
     )
@@ -530,6 +531,7 @@ def test_hessian_preconditioned_sampling_fixes_ill_conditioning():
         np.asarray(R @ R.T), np.asarray(prec), rtol=2e-3, atol=1e-4
     )
 
+    T = precondition_transform(R)
     pot_w = preconditioned_potential(pot)
     res = run_mcmc(
         pot_w,
@@ -539,13 +541,13 @@ def test_hessian_preconditioned_sampling_fixes_ill_conditioning():
         num_samples=600,
         num_chains=4,
         max_tree_depth=6,
-        potential_args=(R, mean) + args,
+        potential_args=(T, mean) + args,
     )
     assert int(np.asarray(res.diverging).sum()) == 0
     # trees turn: far below the 63-leapfrog depth-6 cap on average
     lf_per_draw = float(np.asarray(res.num_leapfrog).mean())
     assert lf_per_draw < 40
-    z = unwhiten_samples(res.samples, R, mean)
+    z = unwhiten_samples(res.samples, T, mean)
     flat = np.asarray(z).reshape(-1, dim)
     rhat = split_rhat(np.asarray(z))
     assert rhat.max() < 1.05
