@@ -611,6 +611,7 @@ def sample_density_posterior(
         # adaptation (trees max out at any depth); in w = Rᵀ(z - z*)
         # coordinates the target is near-N(0, I) and trees turn in a few
         # leapfrogs.  Requires a (near-)MAP z0.
+        z0, _, _ = newton_polish(potential_fn, z0, potential_args)
         R = hessian_cholesky(
             potential_fn, z0, jnp.asarray(1e-6, z0.dtype), *potential_args
         )
@@ -758,3 +759,67 @@ def unwhiten_samples(samples_w, T, z_map, block=65536):
         outs.append(z_map[None, :] + (wb @ T.T))
     flat_z = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return flat_z.reshape(shape)
+
+
+@partial(jax.jit, static_argnames=("potential_fn",))
+def _value_and_grad_program(potential_fn, z, *potential_args):
+    fun = (
+        (lambda zz: potential_fn(zz, *potential_args))
+        if potential_args
+        else potential_fn
+    )
+    return jax.value_and_grad(fun)(z)
+
+
+@partial(jax.jit, static_argnames=())
+def _newton_step(R, g):
+    from jax.scipy.linalg import cho_solve
+
+    return cho_solve((R, True), g)
+
+
+def newton_polish(potential_fn, z0, potential_args=(), iters=10,
+                  jitter=1e-6, tol=1e-8):
+    """Newton-polish a (near-)MAP point using the blocked full Hessian.
+
+    Round-4 finding: at 100k cells x 512 latents the L-BFGS MAP exits at
+    its iteration cap with a far-from-zero gradient (the same
+    conditioning that defeats diagonal-mass NUTS also starves a
+    limited-memory quasi-Newton method), and a Hessian metric taken at an
+    unconverged point sends every preconditioned trajectory into a long
+    transient.  The density posterior is log-concave, so full Newton
+    converges quadratically; each iteration is one blocked-HVP Hessian
+    build + an m x m Cholesky solve.  Backtracks (halving, 5 tries) if a
+    step fails to decrease the potential.  Returns (z, grad_norm_before,
+    grad_norm_after).
+    """
+    z = z0
+    v0, g = _value_and_grad_program(potential_fn, z, *potential_args)
+    gn0 = float(jnp.linalg.norm(g))
+    value = v0
+    for _ in range(int(iters)):
+        gn = float(jnp.linalg.norm(g))
+        if gn <= tol * max(1.0, abs(float(value))):
+            break
+        R = hessian_cholesky(
+            potential_fn, z, jnp.asarray(jitter, z.dtype), *potential_args
+        )
+        dz = _newton_step(R, g)
+        step = 1.0
+        for _try in range(5):
+            z_new = z - step * dz
+            v_new, g_new = _value_and_grad_program(
+                potential_fn, z_new, *potential_args
+            )
+            if bool(jnp.isfinite(v_new)) and float(v_new) <= float(value):
+                z, value, g = z_new, v_new, g_new
+                break
+            step *= 0.5
+        else:
+            break  # no decrease: keep the best point found
+    gn1 = float(jnp.linalg.norm(g))
+    logger.info(
+        "Newton polish: |grad| %.3g -> %.3g (potential %.6g).",
+        gn0, gn1, float(value),
+    )
+    return z, gn0, gn1

@@ -686,10 +686,12 @@ class BaseEstimator:
             if precondition == "hessian":
                 from ..inference.mcmc import (
                     hessian_cholesky,
+                    newton_polish,
                     precondition_transform,
                     preconditioned_potential,
                 )
 
+                mcmc_z0, _, _ = newton_polish(mcmc_loss, mcmc_z0, loss_args)
                 R_pre = precondition_transform(
                     hessian_cholesky(
                         mcmc_loss,

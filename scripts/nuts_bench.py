@@ -166,6 +166,7 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
     from mellon_tpu.inference.losses import density_loss
     from mellon_tpu.inference.mcmc import (
         hessian_cholesky,
+        newton_polish,
         precondition_transform,
         preconditioned_potential,
         run_mcmc,
@@ -231,8 +232,13 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
         # diagonal-mass runs max out every tree at this posterior's
         # conditioning — see PERFORMANCE.md round-4 north-star section)
         t0 = time.time()
+        pot_base = density_loss if not prepared else potential_fn
+        z0, gn0, gn1 = newton_polish(pot_base, z0, tuple(potential_args))
+        log(f"Newton polish: |grad| {gn0:.3g} -> {gn1:.3g} "
+            f"[{time.time()-t0:.1f}s]")
+        t0 = time.time()
         R = precondition_transform(hessian_cholesky(
-            density_loss if not prepared else potential_fn,
+            pot_base,
             z0, jnp.asarray(1e-6, jnp.float32), *potential_args,
         ))
         jax.device_get(R[:1, :1])
