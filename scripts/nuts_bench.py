@@ -260,7 +260,10 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
             num_samples=num_samples,
             num_chains=num_chains,
             max_tree_depth=depth,
-            initial_step_size=0.05,
+            # in the preconditioned (w) coordinates the target is
+            # near-N(0, I), so the natural step is O(1); a 0.05 start
+            # sends early-warmup trees to the depth cap
+            initial_step_size=0.5 if precond else 0.05,
             steps_per_call=chunk,
             potential_args=run_args,
         )
