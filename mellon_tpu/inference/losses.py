@@ -3,10 +3,25 @@
 Behavioural parity target: ``mellon/inference.py:125-219, 341-372``.
 """
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from .likelihoods import nearest_neighbors_likelihood, normal_prior, poisson_likelihood
+
+# Precision of the L-matvec inside the sampled/optimized losses.  f32
+# matmuls default to ONE reduced-precision (bf16) MXU pass, and under the
+# chain/particle vmap the per-chain matvec becomes a matmul, so every
+# potential/gradient evaluation picks up ~1e-3-relative rounding that is
+# HIGH-FREQUENCY in z.  MAP/L-BFGS tolerates it; Hamiltonian MCMC does
+# not: the noise breaks leapfrog energy conservation at a step-size-
+# independent ~0.05-1 nats/eval, dual averaging reacts by collapsing the
+# step size, and every NUTS tree runs to the depth cap with frozen chains
+# (the round-3/4 north-star "conditioning wall" reproduced on CPU and
+# vanished at HIGHEST precision — see scripts/sampler_sanity.py and
+# PERFORMANCE.md).  HIGHEST costs extra MXU passes only in the matvec;
+# the tree length collapse (1023 -> ~15 leapfrogs/draw) dwarfs it.
+MATVEC_PRECISION = jax.lax.Precision.HIGHEST
 
 
 # ---------------------------------------------------------------------------
@@ -32,7 +47,12 @@ def density_loss(z, L, nn_distances, d, mu):
     prior = -(1 / 2) * jnp.sum(z**2) - (k / 2) * jnp.log(2 * jnp.pi)
     acc_dtype = jnp.float64 if L.dtype == jnp.float64 else jnp.float32
     f = (
-        jnp.dot(L, z.astype(L.dtype), preferred_element_type=acc_dtype)
+        jnp.dot(
+            L,
+            z.astype(L.dtype),
+            preferred_element_type=acc_dtype,
+            precision=MATVEC_PRECISION,
+        )
         + mu
     )
     const = (d * jnp.log(jnp.pi) / 2) - gammaln(d / 2 + 1)
@@ -45,7 +65,7 @@ def density_loss(z, L, nn_distances, d, mu):
 def density_loglik(z, L, nn_distances, d, mu):
     """Likelihood term of the whitened density model alone (for SMC
     tempering), fully argument-threaded."""
-    f = L.dot(z) + mu
+    f = jnp.dot(L, z, precision=MATVEC_PRECISION) + mu
     const = (d * jnp.log(jnp.pi) / 2) - gammaln(d / 2 + 1)
     V = jnp.log(nn_distances) * d + const
     Vdr = jnp.log(d) + ((d - 1) * jnp.log(nn_distances)) + const
@@ -58,8 +78,8 @@ def dimensionality_loss(z, L, distances, mu_dim, mu_dens):
     :func:`compute_dimensionality_loss_func`)."""
     k = z.shape[0]
     prior = -(1 / 2) * jnp.sum(z**2) - (k / 2) * jnp.log(2 * jnp.pi)
-    dims = jnp.exp(L.dot(z[0, :]) + mu_dim)
-    log_dens = L.dot(z[1, :]) + mu_dens
+    dims = jnp.exp(jnp.dot(L, z[0, :], precision=MATVEC_PRECISION) + mu_dim)
+    log_dens = jnp.dot(L, z[1, :], precision=MATVEC_PRECISION) + mu_dens
 
     n_neighbors = distances.shape[1]
     counts = jnp.arange(1, n_neighbors + 1)

@@ -687,14 +687,12 @@ def _hessian_block(potential_fn, z_map, start, block, *potential_args):
         e = jnp.zeros((m,), dtype=z_map.dtype).at[start + offset].set(1.0)
         return jax.jvp(grad_f, (z_map,), (e,))[1]
 
-    return jax.vmap(hvp)(jnp.arange(block))
-
-
-@jax.jit
-def _hessian_finish(H, jitter):
-    H = 0.5 * (H + H.T)
-    idx = jnp.arange(H.shape[0])
-    return jnp.linalg.cholesky(H.at[idx, idx].add(jitter))
+    # the vmapped HVP's matvecs become matmuls whose default single
+    # reduced-precision pass injects ~1e-3-relative error into H — enough
+    # to corrupt the Hessian's soft eigenvalues and break the whitening
+    # transform built from it (round-4 root cause; scripts/sampler_sanity.py)
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(hvp)(jnp.arange(block))
 
 
 def hessian_cholesky(potential_fn, z_map, jitter, *potential_args,
@@ -703,7 +701,18 @@ def hessian_cholesky(potential_fn, z_map, jitter, *potential_args,
     (H + jitter*I = R Rᵀ).  The m HVPs run in blocks of ``block`` basis
     vectors (each HVP lane carries O(n) intermediates, so a full-m vmap
     at 100k x 5000 would hold ~10 GB live); the last block overlaps to
-    keep the shape static."""
+    keep the shape static.
+
+    The factorization runs on the host in float64 with jitter escalation
+    (:func:`..ops.linalg.host_cholesky_f64`): the MAP Hessian of a
+    100k-cell density model is ~1e4-1e8 conditioned, and a bare f32
+    device Cholesky at that conditioning silently returns NaN — or,
+    worse, a finite factor whose inverse no longer whitens (the round-4
+    phase-2 precond runs adapted against exactly such a factor and every
+    tree still maxed out).  m ≤ a few thousand, so the host factor is
+    microseconds against the m HVPs that build H."""
+    from ..ops.linalg import host_cholesky_f64
+
     m = z_map.shape[-1]
     b = min(block, m)
     rows = []
@@ -718,20 +727,32 @@ def hessian_cholesky(potential_fn, z_map, jitter, *potential_args,
         rows.append(part)
         prev_end = max(prev_end, start + b)
     H = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
-    return _hessian_finish(H, jnp.asarray(jitter, z_map.dtype))
+    import numpy as np
+
+    H64 = np.asarray(jax.device_get(H), dtype=np.float64)
+    H64 = 0.5 * (H64 + H64.T)
+    R64 = host_cholesky_f64(H64, jitter=float(jitter))
+    return jnp.asarray(R64, dtype=z_map.dtype)
 
 
-@jax.jit
 def precondition_transform(R):
     """T = R⁻ᵀ as an explicit matrix: the per-leapfrog coordinate map
     becomes one m×m MATMUL per chain batch (MXU) instead of a triangular
-    solve (whose blocked-panel lowering is far off matmul peak).  The
-    MAP Hessian is only ~1e3-1e6 conditioned — nothing like the kernel
-    matrices — so the f32 explicit inverse is safe here."""
-    from jax.scipy.linalg import solve_triangular
+    solve (whose blocked-panel lowering is far off matmul peak).
 
-    eye = jnp.eye(R.shape[0], dtype=R.dtype)
-    return solve_triangular(R.T, eye, lower=False)
+    The inverse is computed on the host in float64: at Hessian condition
+    numbers of 1e6+ the f32 triangular solve loses enough accuracy that
+    TᵀHT drifts visibly from I (the whole point of the transform), while
+    the f64 inverse of the m×m factor costs microseconds.  The RESULT is
+    f32 — representing a well-computed T in f32 is harmless; computing
+    it in f32 is not."""
+    import numpy as np
+    from scipy.linalg import solve_triangular as host_solve_triangular
+
+    R64 = np.asarray(jax.device_get(R), dtype=np.float64)
+    eye = np.eye(R64.shape[0])
+    T64 = host_solve_triangular(R64.T, eye, lower=False)
+    return jnp.asarray(T64, dtype=R.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -742,7 +763,10 @@ def preconditioned_potential(potential_fn):
     compiled sampler program per model family)."""
 
     def pot(w, T, z_map, *args):
-        z = z_map + T @ w
+        # HIGHEST: under the chain vmap this matvec is a matmul whose
+        # default reduced-precision pass would put ~1e-3-relative noise on
+        # z — i.e. on the sampled potential surface (see losses.py note)
+        z = z_map + jnp.dot(T, w, precision=jax.lax.Precision.HIGHEST)
         return potential_fn(z, *args)
 
     return pot
@@ -756,7 +780,10 @@ def unwhiten_samples(samples_w, T, z_map, block=65536):
     outs = []
     for s in range(0, flat.shape[0], block):
         wb = flat[s : s + block]
-        outs.append(z_map[None, :] + (wb @ T.T))
+        outs.append(
+            z_map[None, :]
+            + jnp.dot(wb, T.T, precision=jax.lax.Precision.HIGHEST)
+        )
     flat_z = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return flat_z.reshape(shape)
 
