@@ -96,7 +96,7 @@ def compute_transform(mu, L):
     """z -> f = L z + mu (parity: ``mellon/inference.py:125-139``)."""
 
     def transform(z):
-        return L.dot(z) + mu
+        return jnp.dot(L, z, precision=MATVEC_PRECISION) + mu
 
     return transform
 
@@ -107,7 +107,10 @@ def compute_dimensionality_transform(mu_dim, mu_dens, L):
 
     def transform(z):
         dims, dens = z[0, :], z[1, :]
-        return jnp.exp(L.dot(dims) + mu_dim), L.dot(dens) + mu_dens
+        return (
+            jnp.exp(jnp.dot(L, dims, precision=MATVEC_PRECISION) + mu_dim),
+            jnp.dot(L, dens, precision=MATVEC_PRECISION) + mu_dens,
+        )
 
     return transform
 

@@ -135,7 +135,17 @@ def _batched_density_loss(zflat, L_stack, nng, mask, mu_t, d):
     the d=2 bench shape)."""
     T, n_pad, _ = L_stack.shape
     Z = zflat.reshape(T, n_pad)
-    F = jnp.einsum("tij,tj->ti", L_stack, Z) + mu_t[:, None]
+    # HIGHEST: the batched matvec otherwise runs one reduced-precision MXU
+    # pass, putting ~1e-3-relative high-frequency noise on the joint loss
+    # surface — the same effect that froze the NUTS chains (losses.py) here
+    # degrades the joint L-BFGS optimum and with it the cross-time density
+    # correlations that ls_time is fit to
+    F = (
+        jnp.einsum(
+            "tij,tj->ti", L_stack, Z, precision=jax.lax.Precision.HIGHEST
+        )
+        + mu_t[:, None]
+    )
     const = (d * jnp.log(jnp.pi) / 2) - gammaln(d / 2 + 1)
     V = jnp.log(nng) * d + const
     Vdr = jnp.log(d) + (d - 1) * jnp.log(nng) + const
@@ -399,7 +409,10 @@ def _batched_ls_time_densities(
             xg_t, L_t, z_t, ls_g, mu_g = op
             w = solve_triangular(L_t.T, z_t, lower=False)
             Ks = eval_operand_spec(spec, (ls_g,), states, xg_t)
-            return mu_g + Ks @ w
+            # HIGHEST: vmapped over groups this matvec is a matmul; the
+            # default reduced-precision pass perturbs the densities whose
+            # cross-time correlations define ls_time
+            return mu_g + jnp.dot(Ks, w, precision=jax.lax.Precision.HIGHEST)
 
         return jax.lax.map(one, (xg, L_stack, Z, ls_t, mu_t))
 

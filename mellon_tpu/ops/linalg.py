@@ -49,7 +49,11 @@ def _jittered_cholesky(K, jitter):
     """
     idx = jnp.arange(K.shape[0])
     A = K.at[idx, idx].add(jitter)
-    L = jnp.linalg.cholesky(A)
+    # highest: the blocked Cholesky's inner matmuls otherwise run one
+    # reduced-precision pass (~1e-3 relative — far coarser than f32); at
+    # m <= 5000 the extra passes cost milliseconds
+    with jax.default_matmul_precision("highest"):
+        L = jnp.linalg.cholesky(A)
     ok = ~jnp.any(jnp.isnan(L))
     return L, ok
 
@@ -285,7 +289,12 @@ def _standard_low_rank_fused(cov_func, x, xu, Lp):
     kernel object is a static argument, so a new kernel instance means a
     new program."""
     C = cov_func(x, xu)
-    return solve_triangular(Lp, C.T, lower=True).T
+    # highest: the TRSM's blocked panel updates are matmuls; the default
+    # reduced-precision pass would put ~1e-3-relative noise on H that the
+    # whitening amplifies by cond(Lp) (the n·m² extra passes are tens of
+    # ms even at the 98k x 5000 full-capacity shape)
+    with jax.default_matmul_precision("highest"):
+        return solve_triangular(Lp, C.T, lower=True).T
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -297,7 +306,8 @@ def _standard_low_rank_fused_spec(spec, params, x, xu, Lp):
     from .kernels import eval_operand_spec
 
     C = eval_operand_spec(spec, params, x, xu)
-    return solve_triangular(Lp, C.T, lower=True).T
+    with jax.default_matmul_precision("highest"):  # see the fused variant
+        return solve_triangular(Lp, C.T, lower=True).T
 
 
 # chunk the kernel+TRSM program over rows of x when BOTH dims are large:

@@ -39,7 +39,15 @@ def distance(x, y):
     """
     xx = jnp.sum(x * x, axis=1)[:, None]
     yy = jnp.sum(y * y, axis=1)[None, :]
-    xy = jnp.tensordot(x, y, axes=(1, 1))
+    # HIGHEST: the cross term otherwise runs one reduced-precision MXU
+    # pass (~1e-3 relative), which puts 4-5 orders more noise on every
+    # kernel gram than true-f32 rounding (~6e-8) — at degenerate kernel
+    # conditioning that noise is amplified by cond(Lp) through the
+    # whitening.  The contraction is over d (tiny FLOPs next to the
+    # O(n*m) output), so the extra passes are free.
+    xy = jnp.tensordot(
+        x, y, axes=(1, 1), precision=jax.lax.Precision.HIGHEST
+    )
     sq = xx - 2 * xy + yy + 1e-12
     # floor at the epsilon, not at 0: f32 cancellation can leave sq <= 0 for
     # coincident points despite the epsilon, and autodiff through sqrt(0)
@@ -58,7 +66,9 @@ def distance_grad(x, eps=1e-12):
 
     def grad(y):
         yy = jnp.sum(y * y, axis=1)[None, :]
-        xy = jnp.tensordot(x, y, axes=(1, 1))
+        xy = jnp.tensordot(
+            x, y, axes=(1, 1), precision=jax.lax.Precision.HIGHEST
+        )
         sq = xx - 2 * xy + yy + eps
         dist = jnp.sqrt(jnp.maximum(sq, 0))
         delta = y[None, :] - x[:, None]

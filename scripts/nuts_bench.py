@@ -131,29 +131,31 @@ def _report(result, t_total, num_warmup, num_samples, num_chains, m):
 
 
 def _roofline(n, m, num_chains, est_total_lf, t_total, itemsize):
-    # each leapfrog: (n, m) matvec forward (2nm FLOPs) + transpose matvec
-    # backward (2nm) per chain; chains run in lockstep inside the vmapped
-    # tree so L streams from HBM once per JOINT leapfrog.  Default-precision
-    # f32 matmuls run one bf16 pass and XLA hoists the f32->bf16 conversion
-    # of the loop-invariant L out of the scan -> 2 bytes/element streamed.
+    # each leapfrog: (n, m) matvec forward (2nm useful FLOPs) + transpose
+    # matvec backward (2nm) per chain; chains run in lockstep inside the
+    # vmapped tree so L streams from HBM once per JOINT leapfrog.  The
+    # losses run their matvec at Precision.HIGHEST (losses.py: anything
+    # less puts high-frequency rounding on the sampled potential and
+    # collapses the step size): the f32 operand streams at 4 B/element
+    # and each useful FLOP costs ~6 bf16 MXU passes, so the effective
+    # compute ceiling is peak/6.  bf16 STORAGE (opt-in) streams
+    # 2 B/element with one exact-product pass.
     V5E_PEAK_BF16_FLOPS = 197e12
     V5E_HBM_BYTES_S = 819e9
+    passes = 1 if itemsize <= 2 else 6
+    eff_peak = V5E_PEAK_BF16_FLOPS / passes
     joint_leapfrogs = est_total_lf / num_chains
     flops = 4.0 * n * m * est_total_lf
-    stream_itemsize = min(itemsize, 2)
-    bytes_moved = 2.0 * n * m * stream_itemsize * joint_leapfrogs
+    bytes_moved = 2.0 * n * m * itemsize * joint_leapfrogs
     achieved_flops = flops / t_total
     achieved_bw = bytes_moved / t_total
     ai = flops / bytes_moved
-    bound = (
-        "HBM-bandwidth"
-        if ai < V5E_PEAK_BF16_FLOPS / V5E_HBM_BYTES_S
-        else "MXU"
-    )
+    bound = "HBM-bandwidth" if ai < eff_peak / V5E_HBM_BYTES_S else "MXU"
     log(
-        f"roofline (est. incl. warmup trees): "
-        f"{achieved_flops / 1e12:.2f} TFLOP/s "
-        f"({100 * achieved_flops / V5E_PEAK_BF16_FLOPS:.1f}% of v5e MXU peak), "
+        f"roofline (est. incl. warmup trees, {passes}-pass matvec): "
+        f"{achieved_flops / 1e12:.2f} useful TFLOP/s "
+        f"({100 * achieved_flops / eff_peak:.1f}% of the "
+        f"{eff_peak / 1e12:.0f} TFLOP/s effective MXU ceiling), "
         f"{achieved_bw / 1e9:.0f} GB/s "
         f"({100 * achieved_bw / V5E_HBM_BYTES_S:.1f}% of v5e HBM peak); "
         f"arithmetic intensity {ai:.1f} FLOP/B -> {bound}-bound"
