@@ -590,3 +590,73 @@ def test_estimator_nuts_precondition_option():
         DensityEstimator(
             optimizer="nuts", sampler_options={"precondition": "dense"}
         )
+
+
+def test_density_loss_vmap_matches_single_eval():
+    """The chain-vmapped potential must equal the per-chain evaluation.
+
+    Under ``vmap`` the per-chain L matvec becomes a matmul; without
+    ``losses.MATVEC_PRECISION`` the default reduced-precision MXU pass put
+    ~1e-3-relative, high-frequency-in-z rounding on the sampled potential
+    surface — the root cause of the round-3/4 north-star mixing failure
+    (trees maxed at any depth, step-size collapse, Rhat in the hundreds).
+    """
+    from mellon_tpu.inference.losses import density_loss
+
+    key = jax.random.PRNGKey(0)
+    n, m = 20_000, 256
+    L = jax.random.normal(key, (n, m), dtype=jnp.float32) / jnp.sqrt(m)
+    nn = 0.05 + 0.3 * jax.random.uniform(
+        jax.random.fold_in(key, 1), (n,), dtype=jnp.float32
+    )
+    args = (L, nn, 10.0, -6.0)
+    z = 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (8, m))
+    v_vmap = np.asarray(jax.vmap(lambda zz: density_loss(zz, *args))(z))
+    v_single = np.asarray(
+        jnp.stack([density_loss(z[i], *args) for i in range(8)])
+    )
+    # identical code path up to batching; only matmul-pass rounding can
+    # separate them — require agreement far below one nat
+    np.testing.assert_allclose(v_vmap, v_single, rtol=0, atol=5e-2)
+
+
+def test_nuts_mixes_on_large_density_model():
+    """Regression for the matmul-precision mixing failure at realistic
+    scale: multi-chain NUTS on a 8k-cell density loss must turn its trees
+    well below the depth cap and converge (the broken potential surface
+    produced 100% maxed trees and Rhat > 100 at this shape)."""
+    from mellon_tpu.inference.losses import density_loss
+    from mellon_tpu.inference.optimizers import minimize_lbfgsb
+
+    key = jax.random.PRNGKey(3)
+    n, m = 20_000, 256
+    L = jax.random.normal(key, (n, m), dtype=jnp.float32) / jnp.sqrt(m)
+    nn = 0.05 + 0.3 * jax.random.uniform(
+        jax.random.fold_in(key, 1), (n,), dtype=jnp.float32
+    )
+    args = (L, nn, 10.0, -6.0)
+    z0 = minimize_lbfgsb(
+        density_loss, jnp.zeros(m, dtype=jnp.float32), loss_args=args
+    ).pre_transformation
+
+    res = run_mcmc(
+        density_loss,
+        z0,
+        jax.random.PRNGKey(5),
+        num_warmup=300,
+        num_samples=200,
+        num_chains=6,
+        max_tree_depth=8,
+        initial_step_size=0.05,
+        potential_args=args,
+    )
+    steps = np.asarray(res.num_leapfrog)
+    # the broken potential surface had EVERY tree at the cap (255); a
+    # healthy run at this shape measures ~15 leapfrogs/draw
+    maxed = float((steps >= 2**8 - 1).mean())
+    assert maxed < 0.5, f"{maxed:.0%} of trees at the depth cap"
+    rhat = split_rhat(np.asarray(res.samples))
+    assert float(rhat.max()) < 1.1
+    ess = effective_sample_size(np.asarray(res.samples))
+    # a healthy run at this scale is near-iid; the broken one was ~4
+    assert float(np.median(ess)) > 300
