@@ -21,7 +21,15 @@ from .likelihoods import nearest_neighbors_likelihood, normal_prior, poisson_lik
 # vanished at HIGHEST precision — see scripts/sampler_sanity.py and
 # PERFORMANCE.md).  HIGHEST costs extra MXU passes only in the matvec;
 # the tree length collapse (1023 -> ~15 leapfrogs/draw) dwarfs it.
-MATVEC_PRECISION = jax.lax.Precision.HIGHEST
+# MELLON_TPU_MATVEC_PRECISION=high opts into the 3-pass variant (~2x the
+# 6-pass sampling throughput at saturating chain counts) — use only with
+# a posterior-agreement check against the default.
+import os as _os
+
+MATVEC_PRECISION = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("MELLON_TPU_MATVEC_PRECISION", "highest").lower()]
 
 
 # ---------------------------------------------------------------------------
