@@ -21,9 +21,14 @@ run() {
   sleep 45
 }
 run 3600 time_bench_p5    python time_bench.py
+run 2400 matched_inputs_p5 python matched_inputs_experiment.py
 run 2400 ls_time_d2_p5    python ls_time_bench.py 2
 run 2400 nystroem_p5      python nystroem_recheck.py
 run 3600 atlas_nuts_p5    python atlas_nuts_bench.py
 run 2400 smc_p5           python smc_bench.py
 run 2400 smc_laplace_p5   python smc_bench.py 100000 512 1024 laplace
+# 3-pass matvec probe: throughput + posterior-agreement vs the 6-pass
+# default (same seed; compare ESS/s and the reported moments/Rhat)
+run 2400 nuts_128_precond_high_p5 env MELLON_TPU_MATVEC_PRECISION=high \
+  python nuts_bench.py 100000 5000 500 1000 128 prepared precond chunk=25 depth=10
 echo "[$(date +%H:%M:%S)] phase 5 complete"
