@@ -31,4 +31,11 @@ run 2400 smc_laplace_p5   python smc_bench.py 100000 512 1024 laplace
 # default (same seed; compare ESS/s and the reported moments/Rhat)
 run 2400 nuts_128_precond_high_p5 env MELLON_TPU_MATVEC_PRECISION=high \
   python nuts_bench.py 100000 5000 500 1000 128 prepared precond chunk=25 depth=10
+# the literal synthetic BASELINE shape (5000-dim latent, no pruning):
+# preconditioned (the Hessian build is ~5 min at m=5000, then trees turn
+# early), and a depth-7 diagonal variant (the depth-10 diagonal run's
+# early warmup trees at 1023 leapfrogs x 5000-wide matvecs overran the
+# phase-4 timeout)
+run 5400 nuts_128_synth_precond_p5 python nuts_bench.py 100000 5000 300 500 128 precond chunk=4 depth=10
+run 5400 nuts_128_synth_d7_p5      python nuts_bench.py 100000 5000 300 500 128 chunk=10 depth=7
 echo "[$(date +%H:%M:%S)] phase 5 complete"
