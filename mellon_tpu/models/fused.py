@@ -168,6 +168,42 @@ def _fused_prune_factorize_program(K, piv, x, xu, nn, mu, params, jitter, spec, 
     return Lp, xu_sel, L, z0, ok
 
 
+@jax.jit
+def _prune_chol_program(K, piv, jitter):
+    """Submatrix Cholesky alone — the first leg of the CHUNKED stage-2
+    route for large (n, pruned-m) shapes (see _finish_factorization): the
+    single-program TRSM at (98k, 2176) keeps ~8 GB of panel-update temps
+    alive and OOMs one v5e, so the TRSM runs row-chunked as separate
+    program calls instead."""
+    jitter = jnp.asarray(jitter, dtype=K.dtype)
+    K_sub = K[piv][:, piv]
+    diag = jnp.arange(K_sub.shape[0])
+    with jax.default_matmul_precision("highest"):
+        Lp = jnp.linalg.cholesky(K_sub.at[diag, diag].add(jitter))
+    return Lp, ~jnp.any(jnp.isnan(Lp))
+
+
+@partial(jax.jit, static_argnames=("d_int",))
+def _ridge_warmstart_program(L, nn, mu, d_int):
+    """Ridge warm start alone (third leg of the chunked stage-2 route)."""
+    return ridge_solve(L, mle(nn, d_int) - mu, 1.0)
+
+
+def _chunked_prune_factorize(est, K, piv, x, xu, nn, mu, params, spec, d_int):
+    """Chunked stage-2 for the pruning path: submatrix Cholesky, then the
+    row-chunked TRSM (shared shape-stable executable per chunk), then the
+    ridge warm start — same results as _fused_prune_factorize_program in
+    three+ program calls with bounded temps."""
+    from ..ops.linalg import _chunked_rows, _standard_low_rank_fused_spec
+
+    Lp, ok = _prune_chol_program(K, piv, float(est.jitter))
+    xu_sel = xu[piv]
+    kernel = partial(_standard_low_rank_fused_spec, spec, params)
+    L = _chunked_rows(kernel, x, xu_sel, Lp)
+    z0 = _ridge_warmstart_program(L, nn, float(mu), d_int)
+    return Lp, xu_sel, L, z0, ok
+
+
 def maybe_fused_sparse_prepare(est):
     """Apply the fused prepare to ``est`` if it is in the default sparse
     configuration.  Returns True when the attributes were set (the lazy
@@ -251,8 +287,14 @@ def maybe_fused_sparse_prepare(est):
             K, piv_, x, xu, nn, float(mu), params, float(est.jitter), spec, d_int
         )
 
+    def run_prune_big(piv_):
+        return _chunked_prune_factorize(
+            est, K, piv_, x, xu, nn, mu, params, spec, d_int
+        )
+
     _finish_factorization(
-        est, x, xu, K, Lp, bool(ok), x64, run_ok, run_prune, pivot=(piv, int(r))
+        est, x, xu, K, Lp, bool(ok), x64, run_ok, run_prune,
+        pivot=(piv, int(r)), run_prune_big=run_prune_big,
     )
     return True
 
@@ -901,20 +943,29 @@ def maybe_fused_time_prepare(est):
             K, piv_, x, xu, nn, float(mu), params, float(est.jitter), spec, d_int
         )
 
+    def run_prune_big(piv_):
+        return _chunked_prune_factorize(
+            est, K, piv_, x, xu, nn, mu, params, spec, d_int
+        )
+
     _finish_factorization(
-        est, x, xu, K, Lp, bool(ok), x64, run_ok, run_prune, pivot=(piv, int(r))
+        est, x, xu, K, Lp, bool(ok), x64, run_ok, run_prune,
+        pivot=(piv, int(r)), run_prune_big=run_prune_big,
     )
     return True
 
 
-def _finish_factorization(est, x, xu, K, Lp, ok, x64, run_ok, run_prune, pivot=None):
+def _finish_factorization(est, x, xu, K, Lp, ok, x64, run_ok, run_prune, pivot=None,
+                          run_prune_big=None):
     """Shared stage-2 tail of the fused prepares: accept the landmark
     Cholesky attempt, or prune to the pivoted subset and run one submatrix
     program.  ``run_ok(xu, Lp) -> (L, z0)`` and ``run_prune(piv) ->
     (Lp, xu_sel, L, z0, ok)`` are the model-specific factorization
     programs; ``pivot`` is the (piv, r) already computed inside the stage-1
     program when the Cholesky failed (None or r >= cap falls back to the
-    host-side selection)."""
+    host-side selection).  ``run_prune_big``, when given, is the chunked
+    multi-program variant used when the (n, pruned-m) TRSM would OOM as a
+    single program (see _chunked_prune_factorize)."""
     from .base import SAMPLE_LANDMARK_RATIO
     from ..ops.linalg import (
         PIVOT_REL_TOL,
@@ -1026,7 +1077,16 @@ def _finish_factorization(est, x, xu, K, Lp, ok, x64, run_ok, run_prune, pivot=N
         est.landmarks = xu[piv_arr]
         est.Lp = safe_cholesky(K[piv][:, piv], jitter=est.jitter, max_tries=3)
         return
-    Lp2, xu_sel, L, z0, ok2 = run_prune(piv_arr)
+    from ..ops.linalg import TRSM_CHUNK_MIN_M, TRSM_CHUNK_MIN_N
+
+    if (
+        run_prune_big is not None
+        and len(piv) >= TRSM_CHUNK_MIN_M
+        and n > TRSM_CHUNK_MIN_N
+    ):
+        Lp2, xu_sel, L, z0, ok2 = run_prune_big(piv_arr)
+    else:
+        Lp2, xu_sel, L, z0, ok2 = run_prune(piv_arr)
     est.landmarks = xu_sel
     if est.optimizer == "L-BFGS-B" and getattr(est, "_in_fit", False):
         # optimistic (only inside fit/fit_predict, where run_inference is

@@ -312,8 +312,13 @@ def _standard_low_rank_fused_spec(spec, params, x, xu, Lp):
 
 # chunk the kernel+TRSM program over rows of x when BOTH dims are large:
 # at (98k, 5000) the single-program solve allocates >1 GB transposed
-# panels and OOMs one v5e; the atlas shapes (1M x 512) are unaffected
-TRSM_CHUNK_MIN_M = 4096
+# panels and OOMs one v5e; the atlas shapes (1M x 512) are unaffected.
+# The m threshold is 1536 (was 4096): the TRSM lowering keeps a
+# dynamic-update-slice panel chain alive across remat copies, and a
+# (98k, 2176) single-program solve — the d=2 tutorial shape once the
+# accurate grams retain their larger pivot rank — measured ~8 GB of
+# those temps (benchdata/logs_r4/time_bench_p5.log OOM dump).
+TRSM_CHUNK_MIN_M = 1536
 TRSM_CHUNK_MIN_N = 32768
 TRSM_CHUNK_ROWS = 16384
 

@@ -611,3 +611,65 @@ def test_chunked_trsm_matches_unchunked():
         lin.TRSM_CHUNK_MIN_M, lin.TRSM_CHUNK_MIN_N, lin.TRSM_CHUNK_ROWS = old
     assert L_chunked.shape == L_ref.shape
     np.testing.assert_allclose(np.asarray(L_chunked), np.asarray(L_ref), rtol=1e-12)
+
+
+def test_chunked_prune_factorize_matches_single_program(data):
+    """The chunked multi-program stage-2 route (used when the single
+    (n, pruned-m) TRSM program would OOM — see _chunked_prune_factorize)
+    must agree with _fused_prune_factorize_program on the same inputs.
+    Chunking is forced by lowering the linalg thresholds."""
+    from mellon_tpu.models.fused import (
+        _chunked_prune_factorize,
+        _fused_prune_factorize_program,
+    )
+    from mellon_tpu.ops import linalg as linalg_mod
+    from mellon_tpu.ops.cluster import k_means
+    from mellon_tpu.parameters import compute_nn_distances
+    from mellon_tpu.ops.kernels import Matern52
+
+    x = data
+    nn = compute_nn_distances(x)
+    ls, mu, d, jitter = 3.0, -4.0, 3, 1e-6
+    cov = Matern52(ls)
+    xu = k_means(x, 40, random_state=0)
+    K = cov(xu, xu)
+    piv = jnp.asarray(
+        np.random.RandomState(1).permutation(40)[:16], dtype=jnp.int32
+    )
+    spec, params = ("matern52", None, 1), (ls,)
+
+    ref = _fused_prune_factorize_program(
+        K, piv, x, xu, nn, mu, params, jitter, spec, d
+    )
+
+    class _Est:
+        jitter = 1e-6
+
+    old_m, old_n, old_rows = (
+        linalg_mod.TRSM_CHUNK_MIN_M,
+        linalg_mod.TRSM_CHUNK_MIN_N,
+        linalg_mod.TRSM_CHUNK_ROWS,
+    )
+    linalg_mod.TRSM_CHUNK_MIN_M = 8
+    linalg_mod.TRSM_CHUNK_MIN_N = 16
+    linalg_mod.TRSM_CHUNK_ROWS = 37  # non-divisor: exercises the padding
+    try:
+        got = _chunked_prune_factorize(
+            _Est(), K, piv, x, xu, nn, mu, params, spec, d
+        )
+    finally:
+        linalg_mod.TRSM_CHUNK_MIN_M = old_m
+        linalg_mod.TRSM_CHUNK_MIN_N = old_n
+        linalg_mod.TRSM_CHUNK_ROWS = old_rows
+
+    assert bool(got[4])
+    for name, a, b, tol in (
+        ("Lp", ref[0], got[0], 1e-6),
+        ("xu_sel", ref[1], got[1], 0.0),
+        ("L", ref[2], got[2], 1e-5),
+        ("z0", ref[3], got[3], 1e-4),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=tol, atol=tol,
+            err_msg=name,
+        )
