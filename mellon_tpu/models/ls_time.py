@@ -135,15 +135,16 @@ def _batched_density_loss(zflat, L_stack, nng, mask, mu_t, d):
     the d=2 bench shape)."""
     T, n_pad, _ = L_stack.shape
     Z = zflat.reshape(T, n_pad)
-    # HIGHEST: the batched matvec otherwise runs one reduced-precision MXU
-    # pass, putting ~1e-3-relative high-frequency noise on the joint loss
-    # surface — the same effect that froze the NUTS chains (losses.py) here
-    # degrades the joint L-BFGS optimum and with it the cross-time density
-    # correlations that ls_time is fit to
+    # accurate matvec: the batched einsum otherwise runs one reduced-
+    # precision MXU pass, putting ~1e-3-relative high-frequency noise on
+    # the joint loss surface — the same effect that froze the NUTS chains
+    # (losses.py) here degrades the joint L-BFGS optimum and with it the
+    # cross-time density correlations that ls_time is fit to.  Routed
+    # through losses.MATVEC_PRECISION so the env knob covers it too.
+    from ..inference.losses import MATVEC_PRECISION
+
     F = (
-        jnp.einsum(
-            "tij,tj->ti", L_stack, Z, precision=jax.lax.Precision.HIGHEST
-        )
+        jnp.einsum("tij,tj->ti", L_stack, Z, precision=MATVEC_PRECISION)
         + mu_t[:, None]
     )
     const = (d * jnp.log(jnp.pi) / 2) - gammaln(d / 2 + 1)

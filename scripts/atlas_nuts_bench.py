@@ -40,6 +40,9 @@ def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50):
     )
 
     def sample(seed):
+        # chunked: at 1M x 1024 a monolithic warmup+sampling program
+        # exceeds the relay's single-execution duration bound (the
+        # round-4 root cause of "TPU worker crashed" on long programs)
         return run_mcmc(
             est._loss_fn,
             est.pre_transformation,
@@ -49,6 +52,7 @@ def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50):
             num_chains=chains,
             max_tree_depth=7,
             initial_step_size=0.05,
+            steps_per_call=5,
             potential_args=est._loss_args,
         )
 
@@ -70,6 +74,27 @@ def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50):
         f"accept {accept:.2f}, {div} divergences)"
     )
     log(f"draws/s: {draws/dt:.2f}   leapfrogs/s: {leapfrogs/dt:,.0f}")
+
+    from mellon_tpu.inference.diagnostics import (
+        effective_sample_size,
+        split_rhat,
+    )
+
+    m_lat = result.samples.shape[-1]
+    sub = np.sort(
+        np.random.RandomState(0).choice(m_lat, size=min(m_lat, 256),
+                                        replace=False)
+    )
+    samples_sub = np.asarray(
+        jax.device_get(result.samples[:, :, jnp.asarray(sub)])
+    )
+    ess = effective_sample_size(samples_sub)
+    rhat = split_rhat(samples_sub)
+    log(
+        f"ESS over {len(sub)} dims: min {float(ess.min()):.0f} / median "
+        f"{float(np.median(ess)):.0f} of {draws} draws; split-Rhat max "
+        f"{float(rhat.max()):.4f}   min-ESS/s {float(ess.min())/dt:.2f}"
+    )
 
 
 if __name__ == "__main__":
