@@ -26,10 +26,22 @@ from .likelihoods import nearest_neighbors_likelihood, normal_prior, poisson_lik
 # a posterior-agreement check against the default.
 import os as _os
 
-MATVEC_PRECISION = {
+_MATVEC_PRECISION_OPTIONS = {
+    # 'default' restores the single reduced-precision MXU pass — only for
+    # A/B experiments against the corrected paths; never for sampling.
+    "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("MELLON_TPU_MATVEC_PRECISION", "highest").lower()]
+}
+_matvec_env = _os.environ.get("MELLON_TPU_MATVEC_PRECISION", "highest")
+try:
+    MATVEC_PRECISION = _MATVEC_PRECISION_OPTIONS[_matvec_env.strip().lower()]
+except KeyError:
+    raise ValueError(
+        f"MELLON_TPU_MATVEC_PRECISION={_matvec_env!r} is not recognised; "
+        f"allowed values are {sorted(_MATVEC_PRECISION_OPTIONS)} "
+        "(case-insensitive)."
+    ) from None
 
 
 # ---------------------------------------------------------------------------

@@ -696,7 +696,7 @@ def _hessian_block(potential_fn, z_map, start, block, *potential_args):
 
 
 def hessian_cholesky(potential_fn, z_map, jitter, *potential_args,
-                     block=512):
+                     block=512, host_f64=True):
     """Lower Cholesky factor R of the potential's Hessian at ``z_map``
     (H + jitter*I = R Rᵀ).  The m HVPs run in blocks of ``block`` basis
     vectors (each HVP lane carries O(n) intermediates, so a full-m vmap
@@ -710,7 +710,13 @@ def hessian_cholesky(potential_fn, z_map, jitter, *potential_args,
     worse, a finite factor whose inverse no longer whitens (the round-4
     phase-2 precond runs adapted against exactly such a factor and every
     tree still maxed out).  m ≤ a few thousand, so the host factor is
-    microseconds against the m HVPs that build H."""
+    microseconds against the m HVPs that build H.
+
+    ``host_f64=False`` keeps the factorization on device (jittered f32
+    Cholesky at HIGHEST precision, host-f64 only as NaN fallback): a
+    Newton solve needs any valid descent factor, not the
+    preconditioner-grade f64 one, and at m=5000 the host path would add a
+    ~100 MB device→host transfer per call (ADVICE r4)."""
     from ..ops.linalg import host_cholesky_f64
 
     m = z_map.shape[-1]
@@ -727,12 +733,27 @@ def hessian_cholesky(potential_fn, z_map, jitter, *potential_args,
         rows.append(part)
         prev_end = max(prev_end, start + b)
     H = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+    if not host_f64:
+        R = _device_jittered_cholesky(H, jnp.asarray(jitter, H.dtype))
+        if not bool(jnp.any(jnp.isnan(R))):
+            return R
+        # fall through to the robust host path on failure
     import numpy as np
 
     H64 = np.asarray(jax.device_get(H), dtype=np.float64)
     H64 = 0.5 * (H64 + H64.T)
     R64 = host_cholesky_f64(H64, jitter=float(jitter))
     return jnp.asarray(R64, dtype=z_map.dtype)
+
+
+@jax.jit
+def _device_jittered_cholesky(H, jitter):
+    """Symmetrize + jittered Cholesky on device at HIGHEST precision (the
+    cheap factor for newton_polish's inner loop; NaN on failure)."""
+    Hs = 0.5 * (H + H.T)
+    diag = jnp.arange(Hs.shape[0])
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.cholesky(Hs.at[diag, diag].add(jitter))
 
 
 def precondition_transform(R):
@@ -829,7 +850,8 @@ def newton_polish(potential_fn, z0, potential_args=(), iters=10,
         if gn <= tol * max(1.0, abs(float(value))):
             break
         R = hessian_cholesky(
-            potential_fn, z, jnp.asarray(jitter, z.dtype), *potential_args
+            potential_fn, z, jnp.asarray(jitter, z.dtype), *potential_args,
+            host_f64=False,
         )
         dz = _newton_step(R, g)
         step = 1.0

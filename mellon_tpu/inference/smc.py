@@ -39,6 +39,14 @@ LAPLACE_SIGMA_MIN = 1e-3
 LAPLACE_SIGMA_MAX = 10.0
 LAPLACE_CLIP_WARN_FRACTION = 0.01
 
+# smc_density_posterior(start="auto"): number of likelihood terms above
+# which the Laplace start replaces the N(0, I) prior start.  At 100k cells
+# the prior sweep rides the schedule floor for most of its stages with
+# single-digit ESS and biases the evidence low (round-4 smc_p5 logs); the
+# MAP + diagonal-Laplace fit that the laplace start needs is a fixed cost
+# that is negligible at this scale.
+SMC_LAPLACE_AUTO_N = 10_000
+
 
 @functools.lru_cache(maxsize=None)
 def loglik_from_loss(loss_fn):
@@ -69,6 +77,9 @@ class SMCResult(NamedTuple):
     final_stage_log_weights: jnp.ndarray = None  # (num_particles,) the last
     # stage's actual pre-resampling weights — diagnose terminal ESS or
     # reweight-without-resampling analyses; None before any stage ran
+    log_evidence_std: float = None  # across-sweep standard deviation of
+    # log_evidence when smc_density_posterior ran num_sweeps > 1 (the
+    # stated uncertainty of the evidence estimate); None for single sweeps
 
 
 def _std_normal_logpdf(z):
@@ -430,14 +441,17 @@ def laplace_start(loss_fn, loss_args, z0, z_map=None):
 
 
 def smc_density_posterior(
-    estimator, num_particles=1024, seed=0, start="prior", **kwargs
+    estimator, num_particles=1024, seed=0, start="auto", num_sweeps=1,
+    **kwargs
 ):
     """SMC over the whitened latents of a prepared density estimator.
 
     ``start="prior"`` anneals from N(0, I) — the textbook sweep, but at
     scale (e.g. 100k cells) the posterior is so peaked relative to the
     prior that most tempering steps ride the schedule floor with
-    collapsed per-stage ESS.  ``start="laplace"`` instead fits the MAP
+    collapsed per-stage ESS (the round-4 100-stage sweep spent ~60
+    stages at single-digit ESS and landed ~35 nats below the
+    Laplace-start estimate).  ``start="laplace"`` instead fits the MAP
     (reusing ``pre_transformation`` when the estimator is already fitted)
     and anneals from the diagonal-Laplace Gaussian q = N(z*, diag σ²)
     with the ADJUSTED log-likelihood  log π(z) − log q(z), which targets
@@ -445,6 +459,18 @@ def smc_density_posterior(
     the annealing path is then short (q already matches the posterior's
     location and scale), so the adaptive schedule reaches β = 1 in a few
     well-mixed stages instead of max_stages forced ones.
+
+    ``start="auto"`` (the default) picks "laplace" once the model has at
+    least :data:`SMC_LAPLACE_AUTO_N` likelihood terms and "prior" below —
+    at small n the prior sweep is cheap and unbiased while the MAP adds a
+    fixed cost; at scale the degenerate prior start is strictly worse.
+
+    ``num_sweeps > 1`` runs that many independent sweeps (fresh RNG
+    streams) and attaches the across-sweep standard deviation of the
+    log-evidence to the returned result (``log_evidence_std``), with
+    ``log_evidence`` replaced by the across-sweep mean — the stated
+    uncertainty of the evidence estimate.  Particles/weights returned are
+    the final sweep's.
     """
     if estimator.loss_func is None:
         raise ValueError(
@@ -457,16 +483,38 @@ def smc_density_posterior(
     if loss_fn is None:
         loss_fn, loss_args = estimator.loss_func, ()
 
-    key = jax.random.PRNGKey(seed)
+    if start == "auto":
+        nn = getattr(estimator, "nn_distances", None)
+        n_terms = 0 if nn is None else int(np.asarray(jnp.shape(nn)[0]))
+        start = "laplace" if n_terms >= SMC_LAPLACE_AUTO_N else "prior"
+        logger.info(
+            "SMC start='auto' resolved to '%s' (%s likelihood terms, "
+            "threshold %s).",
+            start, f"{n_terms:,}", f"{SMC_LAPLACE_AUTO_N:,}",
+        )
+
     if start == "laplace":
-        adjusted_loglik, prior_kwargs = laplace_start(
+        loglik, prior_kwargs = laplace_start(
             loss_fn,
             loss_args,
             estimator.initial_value,
             z_map=getattr(estimator, "pre_transformation", None),
         )
+    elif start == "prior":
+        loglik = loglik_from_loss(loss_fn)
+        prior_kwargs = {}
+    else:
+        raise ValueError(
+            f"Unknown start option: {start!r}. "
+            'Available options are "auto", "prior" and "laplace".'
+        )
+
+    evidences = []
+    result = None
+    for sweep in range(max(int(num_sweeps), 1)):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), sweep)
         result = run_smc(
-            adjusted_loglik,
+            loglik,
             dim,
             key,
             num_particles=num_particles,
@@ -474,20 +522,16 @@ def smc_density_posterior(
             **prior_kwargs,
             **kwargs,
         )
-    elif start == "prior":
-        loglik = loglik_from_loss(loss_fn)
-        result = run_smc(
-            loglik,
-            dim,
-            key,
-            num_particles=num_particles,
-            loglik_args=loss_args,
-            **kwargs,
+        evidences.append(float(result.log_evidence))
+    if len(evidences) > 1:
+        ev_mean = float(np.mean(evidences))
+        ev_std = float(np.std(evidences, ddof=1))
+        logger.info(
+            "SMC evidence over %d independent sweeps: %.2f +- %.2f nats.",
+            len(evidences), ev_mean, ev_std,
         )
-    else:
-        raise ValueError(
-            f"Unknown start option: {start!r}. "
-            'Available options are "prior" and "laplace".'
+        result = result._replace(
+            log_evidence=jnp.asarray(ev_mean), log_evidence_std=ev_std
         )
     function_samples = jax.vmap(estimator.transform)(result.particles)
     return result, function_samples

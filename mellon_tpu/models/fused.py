@@ -80,12 +80,17 @@ def _chol_attempt_with_pivot(K, jitter):
     diagonally-pivoted landmark selection, so the pruning path needs no
     separate program dispatch and host fetch."""
     diag = jnp.arange(K.shape[0])
-    Lp = jnp.linalg.cholesky(K.at[diag, diag].add(jitter))
+    # HIGHEST matmul precision, matching _jittered_cholesky: the default
+    # single bf16 MXU pass puts ~1e-3-relative noise on L that cond(Lp)
+    # amplifies through the whitening (round-4 root cause; ADVICE r4 #1).
+    with jax.default_matmul_precision("highest"):
+        Lp = jnp.linalg.cholesky(K.at[diag, diag].add(jitter))
     ok = ~jnp.any(jnp.isnan(Lp))
     cap = min(K.shape[0], FUSED_PIVOT_CAP)
 
     def run_pivot():
-        piv, r, _ = _pivoted_cholesky(K, PIVOT_REL_TOL, cap)
+        with jax.default_matmul_precision("highest"):
+            piv, r, _ = _pivoted_cholesky(K, PIVOT_REL_TOL, cap)
         return piv.astype(jnp.int32), jnp.asarray(r, dtype=jnp.int32)
 
     def skip_pivot():
@@ -146,7 +151,10 @@ def _fused_factorize_program(x, xu, Lp, nn, mu, params, spec, d_int):
     (== _initial_value_kernel) in one executable.  ``params`` is the
     kernel's operand tuple (e.g. ``(ls,)`` or ``(ls, ls_time)``)."""
     C = eval_operand_spec(spec, params, x, xu)
-    L = solve_triangular(Lp, C.T, lower=True).T
+    # HIGHEST-precision TRSM, matching _standard_low_rank_fused_spec (the
+    # lazy path) and the chunked route — see _chol_attempt_with_pivot.
+    with jax.default_matmul_precision("highest"):
+        L = solve_triangular(Lp, C.T, lower=True).T
     z0 = ridge_solve(L, mle(nn, d_int) - mu, 1.0)
     return L, z0
 
@@ -159,11 +167,15 @@ def _fused_prune_factorize_program(K, piv, x, xu, nn, mu, params, jitter, spec, 
     jitter = jnp.asarray(jitter, dtype=K.dtype)
     K_sub = K[piv][:, piv]
     diag = jnp.arange(K_sub.shape[0])
-    Lp = jnp.linalg.cholesky(K_sub.at[diag, diag].add(jitter))
+    # HIGHEST precision for the factorization and TRSM, matching
+    # _prune_chol_program / _chunked_prune_factorize (ADVICE r4 #1).
+    with jax.default_matmul_precision("highest"):
+        Lp = jnp.linalg.cholesky(K_sub.at[diag, diag].add(jitter))
     ok = ~jnp.any(jnp.isnan(Lp))
     xu_sel = xu[piv]
     C = eval_operand_spec(spec, params, x, xu_sel)
-    L = solve_triangular(Lp, C.T, lower=True).T
+    with jax.default_matmul_precision("highest"):
+        L = solve_triangular(Lp, C.T, lower=True).T
     z0 = ridge_solve(L, mle(nn, d_int) - mu, 1.0)
     return Lp, xu_sel, L, z0, ok
 
@@ -616,7 +628,8 @@ def _fused_dim_factorize_program(x, xu, Lp, distances, d, mu_dim, mu_dens, param
     """Dimensionality stage 2: TRSM + the stacked (log-dim, log-density)
     ridge warm starts (== compute_initial_dimensionalities)."""
     C = eval_operand_spec(spec, params, x, xu)
-    L = solve_triangular(Lp, C.T, lower=True).T
+    with jax.default_matmul_precision("highest"):  # see _chol_attempt_with_pivot
+        L = solve_triangular(Lp, C.T, lower=True).T
     nn = distances[:, 0]
     z_dim = ridge_solve(L, jnp.log(d) - mu_dim, 1.0)
     z_dens = ridge_solve(L, mle(nn, d) - mu_dens, 1.0)
@@ -631,11 +644,14 @@ def _fused_dim_prune_factorize_program(
     jitter = jnp.asarray(jitter, dtype=K.dtype)
     K_sub = K[piv][:, piv]
     diag = jnp.arange(K_sub.shape[0])
-    Lp = jnp.linalg.cholesky(K_sub.at[diag, diag].add(jitter))
+    # HIGHEST precision, matching the density prune program (ADVICE r4 #1).
+    with jax.default_matmul_precision("highest"):
+        Lp = jnp.linalg.cholesky(K_sub.at[diag, diag].add(jitter))
     ok = ~jnp.any(jnp.isnan(Lp))
     xu_sel = xu[piv]
     C = eval_operand_spec(spec, params, x, xu_sel)
-    L = solve_triangular(Lp, C.T, lower=True).T
+    with jax.default_matmul_precision("highest"):
+        L = solve_triangular(Lp, C.T, lower=True).T
     nn = distances[:, 0]
     z_dim = ridge_solve(L, jnp.log(d) - mu_dim, 1.0)
     z_dens = ridge_solve(L, mle(nn, d) - mu_dens, 1.0)

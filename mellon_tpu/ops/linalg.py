@@ -614,7 +614,19 @@ def host_cholesky_f64(K, jitter=DEFAULT_JITTER, max_tries=8):
     hj = max(float(jitter), 1e-12)
     for _ in range(max_tries):
         try:
-            return np.linalg.cholesky(A + hj * np.eye(m))
+            R = np.linalg.cholesky(A + hj * np.eye(m))
+            if hj > max(float(jitter), 1e-12):
+                # Silent escalation would hide a badly conditioned matrix
+                # behind a degraded factor (a preconditioner built with
+                # 1e3x the requested jitter no longer whitens) — say so.
+                logger.warning(
+                    "Host f64 Cholesky needed jitter escalation to %.1e "
+                    "(requested %.1e); the factor is valid but the matrix "
+                    "is ill-conditioned at the requested regularization.",
+                    hj,
+                    float(jitter),
+                )
+            return R
         except np.linalg.LinAlgError:
             hj *= 10
     import numpy.linalg as _nl

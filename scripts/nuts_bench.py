@@ -127,7 +127,13 @@ def _report(result, t_total, num_warmup, num_samples, num_chains, m):
         f"(sampling-phase est.): "
         f"{ess_min / t_sampling:.2f} / {ess_med / t_sampling:.2f}"
     )
-    return est_total_lf, t_sampling
+    moments = {
+        "sub": sub,
+        "mean": samples_sub.reshape(-1, samples_sub.shape[-1]).mean(0),
+        "std": samples_sub.reshape(-1, samples_sub.shape[-1]).std(0),
+        "ess": ess,
+    }
+    return est_total_lf, t_sampling, moments
 
 
 def _roofline(n, m, num_chains, est_total_lf, t_total, itemsize):
@@ -142,7 +148,21 @@ def _roofline(n, m, num_chains, est_total_lf, t_total, itemsize):
     # 2 B/element with one exact-product pass.
     V5E_PEAK_BF16_FLOPS = 197e12
     V5E_HBM_BYTES_S = 819e9
-    passes = 1 if itemsize <= 2 else 6
+    if itemsize <= 2:
+        passes = 1
+    else:
+        # the f32 matvec's pass count follows the active precision knob
+        # (losses.MATVEC_PRECISION): HIGHEST = 6 bf16 MXU passes,
+        # HIGH = 3, DEFAULT = 1.  Using the wrong constant once produced
+        # a ">100% of ceiling" line in a committed log (round-4 weak #5).
+        import jax as _jax
+        from mellon_tpu.inference.losses import MATVEC_PRECISION
+
+        passes = {
+            _jax.lax.Precision.HIGHEST: 6,
+            _jax.lax.Precision.HIGH: 3,
+            _jax.lax.Precision.DEFAULT: 1,
+        }[MATVEC_PRECISION]
     eff_peak = V5E_PEAK_BF16_FLOPS / passes
     joint_leapfrogs = est_total_lf / num_chains
     flops = 4.0 * n * m * est_total_lf
@@ -155,7 +175,9 @@ def _roofline(n, m, num_chains, est_total_lf, t_total, itemsize):
         f"roofline (est. incl. warmup trees, {passes}-pass matvec): "
         f"{achieved_flops / 1e12:.2f} useful TFLOP/s "
         f"({100 * achieved_flops / eff_peak:.1f}% of the "
-        f"{eff_peak / 1e12:.0f} TFLOP/s effective MXU ceiling), "
+        f"{eff_peak / 1e12:.0f} TFLOP/s effective {passes}-pass ceiling, "
+        f"{100 * achieved_flops / V5E_PEAK_BF16_FLOPS:.1f}% of raw bf16 "
+        f"peak), "
         f"{achieved_bw / 1e9:.0f} GB/s "
         f"({100 * achieved_bw / V5E_HBM_BYTES_S:.1f}% of v5e HBM peak); "
         f"arithmetic intensity {ai:.1f} FLOP/B -> {bound}-bound"
@@ -164,7 +186,7 @@ def _roofline(n, m, num_chains, est_total_lf, t_total, itemsize):
 
 def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
          num_chains=64, precision="f32", prepared=False, chunk=None,
-         depth=7, precond=False):
+         depth=7, precond=False, save=None):
     from mellon_tpu.inference.losses import density_loss
     from mellon_tpu.inference.mcmc import (
         hessian_cholesky,
@@ -286,10 +308,16 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
     jax.device_get(result.step_size)
     t_total = time.time() - t0
 
-    est_total_lf, _ = _report(
+    est_total_lf, _, moments = _report(
         result, t_total, num_warmup, num_samples, num_chains, m_eff
     )
     _roofline(n, m_eff, num_chains, est_total_lf, t_total, L_itemsize)
+    if save:
+        # posterior moments over the dim subsample (z-space: precond draws
+        # are unwhitened before _report) — the artifact the precision-knob
+        # agreement check (scripts/precision_agreement.py) consumes
+        np.savez(save, **moments)
+        log(f"saved posterior moments to {save}")
 
 
 if __name__ == "__main__":
@@ -302,6 +330,8 @@ if __name__ == "__main__":
             kw["chunk"] = int(a.split("=")[1])
         elif a.startswith("depth="):
             kw["depth"] = int(a.split("=")[1])
+        elif a.startswith("save="):
+            kw["save"] = a.split("=", 1)[1]
     kw["precond"] = "precond" in argv
     nums = [
         int(a) for a in argv

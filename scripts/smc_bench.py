@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n=100_000, m=512, num_particles=1024, start="prior"):
+def main(n=100_000, m=512, num_particles=1024, start="prior", repeats=1):
     from mellon_tpu.inference.laplace import compute_laplace_std
     from mellon_tpu.inference.losses import density_loss
     from mellon_tpu.inference.optimizers import minimize_lbfgsb
@@ -108,9 +108,28 @@ def main(n=100_000, m=512, num_particles=1024, start="prior"):
         f"particle-leapfrogs/s"
     )
 
+    if repeats > 1:
+        # evidence error bar across independent sweeps (VERDICT r4 #8):
+        # the warm sweep above counts as the first replicate
+        evs = [float(res.log_evidence)]
+        for s in range(3, 3 + repeats - 1):
+            _, res_r = sweep(s)
+            evs.append(float(res_r.log_evidence))
+        log(
+            f"log-evidence over {repeats} independent sweeps: "
+            f"{np.mean(evs):.1f} +- {np.std(evs, ddof=1):.2f} nats "
+            f"(values: {', '.join(f'{e:.1f}' for e in evs)})"
+        )
+
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
     start = "laplace" if "laplace" in argv else "prior"
-    nums = [int(a) for a in argv if a not in ("laplace", "prior")]
-    main(*nums, start=start)
+    kw = {}
+    for a in argv:
+        if a.startswith("repeats="):
+            kw["repeats"] = int(a.split("=")[1])
+    nums = [
+        int(a) for a in argv if a not in ("laplace", "prior") and "=" not in a
+    ]
+    main(*nums, start=start, **kw)
