@@ -23,6 +23,11 @@ from ..utils.util import distance
 logger = logging.getLogger("mellon_tpu")
 
 DEFAULT_BATCH_SIZE = 1024
+
+# feature-count bound for exact (coordinate-difference) candidate
+# selection in _knn_blocked; above it the matmul form + exact re-rank is
+# used (see the f32 notes in _knn_blocked)
+EXACT_CAND_DIM_MAX = 16
 # database rows per distance strip; bounds the (batch x cols) intermediate
 # to batch*cols*4 bytes (4 GB at the default batch) before streaming kicks in
 DEFAULT_COL_BLOCK = 1 << 20
@@ -46,9 +51,24 @@ def _knn_blocked(query, x, k, batch_size, col_block=DEFAULT_COL_BLOCK):
     It is therefore only used to select >=2k candidates; the candidate
     distances are recomputed exactly from coordinate differences and
     re-ranked.
+
+    Low-dimension refinement (round 5): on DENSE low-d data even the
+    candidate SELECTION fails under the matmul form — the absolute noise
+    eps·|x|² can exceed the squared 1-NN distance itself, so approx_min_k
+    picks ~random members of a large near-ball and the exact re-rank then
+    overestimates the 1-NN distance (measured at the 98k d=2 time-series
+    shape: the geometric-mean NN distance inflated ls by 35% vs f64 and
+    held the fidelity cert at corr 0.911).  For ``dim <=
+    EXACT_CAND_DIM_MAX`` the candidate distances are therefore computed
+    from coordinate differences directly (cancellation-free, relative-
+    accurate at any scale): at low d the elementwise form costs ~3d flops
+    per pair on the VPU vs 2d on the MXU — and a d<=16 matmul cannot fill
+    the 128-wide MXU contraction lanes anyway, so this is not a slowdown.
     """
     nq = query.shape[0]
     n = x.shape[0]
+    dim = x.shape[1]
+    exact_cand = dim <= EXACT_CAND_DIM_MAX
     # candidate margin + recall target tuned on v5e (100k clustered cells,
     # 50 dims): n_cand=32 @ recall_target=0.99 leaves 99.9% of 1-NN distances
     # within 1e-4 relative of coordinate-exact at ~2% of the strict-top_k
@@ -64,8 +84,27 @@ def _knn_blocked(query, x, k, batch_size, col_block=DEFAULT_COL_BLOCK):
     xn = jnp.sum(x * x, axis=1)  # hoisted: one pass over the database
 
     def sq_dists(qb, xb, xbn):
+        if exact_cand:
+            # coordinate-difference form, accumulated per dimension so the
+            # live temporary stays (batch, cols) instead of
+            # (batch, cols, dim)
+            d2 = None
+            for j in range(xb.shape[1]):
+                diff = qb[:, j, None] - xb[None, :, j]
+                d2 = diff * diff if d2 is None else d2 + diff * diff
+            return d2
         qn = jnp.sum(qb * qb, axis=1, keepdims=True)
-        return qn - 2.0 * qb @ xb.T + xbn[None, :]
+        # HIGH (3-pass) matmul: the default single bf16 pass puts ~8e-3
+        # RELATIVE noise on the norms — an absolute error ~0.008·|x|² on
+        # the squared distances, which drowned true 1-NN distances on
+        # dense data (the 98k d=2 ls inflation).  The top-k partial
+        # reduction dominates this path's runtime (see the VPU-roofline
+        # note in PERFORMANCE.md), so the extra passes are ~free.
+        return (
+            qn
+            - 2.0 * jnp.matmul(qb, xb.T, precision=jax.lax.Precision.HIGH)
+            + xbn[None, :]
+        )
 
     def candidates_small(qb):
         _, cand_idx = jax.lax.approx_min_k(

@@ -253,25 +253,43 @@ def _get_target_cell_count(normalize, time, av_cells_per_tp, unique_times):
     return normalize[unique_times.tolist().index(time)]
 
 
-# above this many distinct time points the one-hot single-search columns
-# would dominate the distance matmul; fall back to per-group searches
+# above this many distinct time points the single-search formulation falls
+# back to per-group searches (kept as a safety valve; with the round-5
+# single-column augmentation the single search no longer scales with T)
 MAX_ONEHOT_TIME_GROUPS = 64
 
 
 def within_time_augmented(states, group, n_times):
     """Single-search formulation of within-group kNN (TPU-first redesign of
     the reference's per-time-point loop, ``mellon/parameters.py:444-531``):
-    append scaled one-hot group columns ``sqrt(BIG/2) * onehot(group)``.
-    Within a group the extra columns subtract to exactly 0, so within-group
-    distances are bit-identical to a per-group search; across groups
-    ||e_i - e_j||^2 = 2 adds exactly BIG, excluding the pair.  One blocked
-    kNN program over all n cells replaces T ragged-shaped searches (T
-    program loads).  One-hot (not a single ``group * C`` column) keeps the
-    norm inflation at the constant BIG/2 regardless of the group index, so
-    the f32 matmul-form candidate selection keeps its precision for every
-    time point.  Shared by the eager search below and the fused time
-    prepare (``models/fused.py``)."""
+    append ONE scaled group column ``C * group`` with C² larger than any
+    within-group squared distance.  Within a group the column subtracts to
+    exactly 0 (identical floats), so within-group distances are
+    bit-identical to a per-group search; across groups the difference is
+    at least C, excluding the pair.  One blocked kNN program over all n
+    cells replaces T ragged-shaped searches (T program loads).
+
+    Round-5 redesign: the earlier one-hot form existed to keep the MATMUL
+    candidate selection's norm inflation constant across groups, but any
+    BIG offset puts eps·BIG absolute noise on the matmul-form squared
+    distances — which exceeded the true squared 1-NN distances on the
+    dense 98k d=2 shape and inflated the ls heuristic 35% vs f64.  The
+    augmented dimension is now d+1 ≤ EXACT_CAND_DIM_MAX for typical
+    state spaces, so ``_knn_blocked`` selects candidates from exact
+    coordinate-difference distances where the scaled column is
+    cancellation-free by construction.  High-dimensional states (d+1 >
+    EXACT_CAND_DIM_MAX) keep the one-hot form: there the search runs in
+    matmul form, where the one-hot's CONSTANT norm inflation is what
+    keeps the noise uniform across groups (a single group·C column's
+    norm would grow with the group index).  Shared by the eager search
+    below and the fused time prepare (``models/fused.py``)."""
+    from .ops.neighbors import EXACT_CAND_DIM_MAX
+
     span2 = jnp.sum(jnp.square(jnp.max(states, axis=0) - jnp.min(states, axis=0)))
+    if states.shape[1] + 1 <= EXACT_CAND_DIM_MAX:
+        offset = 4.0 * jnp.sqrt(jnp.maximum(span2, 1.0))
+        col = offset * group.astype(states.dtype)
+        return jnp.concatenate([states, col[:, None]], axis=1)
     big = 16.0 * jnp.maximum(span2, 1.0)
     onehot = jax.nn.one_hot(group, n_times, dtype=states.dtype)
     return jnp.concatenate([states, jnp.sqrt(big / 2.0) * onehot], axis=1)

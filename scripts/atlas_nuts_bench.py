@@ -7,7 +7,14 @@ multi-chain NUTS on the operand-threaded density loss — and reports
 draws/s and leapfrogs/s.  Chains shard across chips linearly (the chains
 mesh axis), so pod-slice numbers are chains x this rate per chip.
 
-Usage: python scripts/atlas_nuts_bench.py [n] [d] [m] [chains] [warmup] [samples]
+Usage: python scripts/atlas_nuts_bench.py [n] [d] [m] [chains] [warmup]
+           [samples] [precond]
+
+``precond``: Newton-polish the MAP, build the MAP-Hessian Cholesky
+preconditioner (blocked HVPs; at 1M x 1024 the build is a few minutes,
+then trees turn in ~15 leapfrogs), and sample in the whitened w-space —
+the round-4/5 lesson that a short-warmup diagonal-mass run at this scale
+never adapts (Rhat in the thousands with every tree at the cap).
 """
 
 import sys
@@ -20,12 +27,21 @@ import numpy as np
 
 
 
-def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50):
+def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50,
+         precond=False):
     from bench import make_data
-    from mellon_tpu.inference.mcmc import run_mcmc
+    from mellon_tpu.inference.mcmc import (
+        hessian_cholesky,
+        newton_polish,
+        precondition_transform,
+        preconditioned_potential,
+        run_mcmc,
+        unwhiten_samples,
+    )
     import mellon_tpu
 
-    log(f"devices: {jax.devices()}  n={n:,} d={d} m={m:,} chains={chains}")
+    log(f"devices: {jax.devices()}  n={n:,} d={d} m={m:,} chains={chains} "
+        f"warmup={warmup} samples={samples} precond={precond}")
     x = make_data(jax.random.PRNGKey(0), n, d)
     x.block_until_ready()
 
@@ -39,22 +55,48 @@ def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50):
         f"(latent dim {est.L.shape[1]}, loss {est.losses[-1]:.6g})"
     )
 
+    pot = est._loss_fn
+    pot_args = tuple(est._loss_args)
+    z0 = est.pre_transformation
+    if precond:
+        t0 = time.time()
+        z0, gn0, gn1 = newton_polish(pot, z0, pot_args)
+        log(f"Newton polish: |grad| {gn0:.3g} -> {gn1:.3g} "
+            f"[{time.time()-t0:.1f}s]")
+        t0 = time.time()
+        R = precondition_transform(hessian_cholesky(
+            pot, z0, jnp.asarray(1e-6, jnp.float32), *pot_args, block=256,
+        ))
+        jax.device_get(R[:1, :1])
+        log(f"MAP-Hessian Cholesky + inverse ({z0.shape[-1]}x"
+            f"{z0.shape[-1]}): {time.time()-t0:.1f}s")
+        run_pot = preconditioned_potential(pot)
+        z_map, z0_run = z0, jnp.zeros_like(z0)
+        run_args = (R, z_map) + pot_args
+    else:
+        run_pot, z0_run, run_args = pot, z0, pot_args
+
     def sample(seed):
         # chunked: at 1M x 1024 a monolithic warmup+sampling program
         # exceeds the relay's single-execution duration bound (the
         # round-4 root cause of "TPU worker crashed" on long programs)
-        return run_mcmc(
-            est._loss_fn,
-            est.pre_transformation,
+        result = run_mcmc(
+            run_pot,
+            z0_run,
             jax.random.PRNGKey(seed),
             num_warmup=warmup,
             num_samples=samples,
             num_chains=chains,
-            max_tree_depth=7,
-            initial_step_size=0.05,
+            max_tree_depth=10 if precond else 7,
+            initial_step_size=0.5 if precond else 0.05,
             steps_per_call=5,
-            potential_args=est._loss_args,
+            potential_args=run_args,
         )
+        if precond:
+            result = result._replace(
+                samples=unwhiten_samples(result.samples, R, z_map)
+            )
+        return result
 
     t0 = time.time()
     result = sample(1)
@@ -98,4 +140,7 @@ def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50):
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:]])
+    argv = sys.argv[1:]
+    precond = "precond" in argv
+    nums = [int(a) for a in argv if a != "precond"]
+    main(*nums, precond=precond)
