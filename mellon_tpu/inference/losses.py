@@ -54,7 +54,7 @@ except KeyError:
 # into executables and compilation caches hit across fits and processes.
 # ---------------------------------------------------------------------------
 
-def density_loss(z, L, nn_distances, d, mu):
+def density_loss(z, L, nn_distances, d, mu, loss_offset_per_term=0.0):
     """Negative log-posterior of the whitened density model, fully
     argument-threaded (same math as :func:`compute_loss_func`).
 
@@ -62,6 +62,22 @@ def density_loss(z, L, nn_distances, d, mu):
     passing L as bfloat16 halves the HBM traffic of the leapfrog/optimizer
     hot loop (the roofline) at the cost of ~1e-3 relative perturbation of
     the latent function — an opt-in speed/accuracy trade for sampling.
+
+    ``loss_offset_per_term`` subtracts a constant from each of the n
+    likelihood terms INSIDE the reduction, returning
+    ``loss - n*offset`` without ever materializing the large total.  This
+    matters for sampling at scale: the total potential grows ~O(n) (1.3e7
+    at 1M cells, where one f32 ulp is 1.0), so energy DIFFERENCES between
+    leapfrog states quantize to ±0.5-1 nats no matter how small the step
+    — dual averaging then equilibrates at an arbitrary tiny step (pure
+    representation noise yields mean accept ≈ 0.78, right at the 0.8
+    target) and every NUTS tree runs to the depth cap.  Setting the
+    offset to loss(z_MAP)/n re-centers the sampled potential to O(√n)
+    where f32 differences are exact to ~1e-3 nats.  A constant shift
+    changes no gradient, MH ratio, or posterior — only its
+    representability.  (Round-5 root cause of the synthetic-5000 and
+    1M-atlas "every tree at the cap" pathology; the 100k prepared model
+    escaped it only because its |loss| ≈ 2.4e5 keeps the noise at 0.03.)
     """
     k = z.shape[0]
     prior = -(1 / 2) * jnp.sum(z**2) - (k / 2) * jnp.log(2 * jnp.pi)
@@ -78,7 +94,7 @@ def density_loss(z, L, nn_distances, d, mu):
     const = (d * jnp.log(jnp.pi) / 2) - gammaln(d / 2 + 1)
     V = jnp.log(nn_distances) * d + const
     Vdr = jnp.log(d) + ((d - 1) * jnp.log(nn_distances)) + const
-    likelihood = jnp.sum((f + Vdr) - jnp.exp(f + V))
+    likelihood = jnp.sum((f + Vdr) - jnp.exp(f + V) + loss_offset_per_term)
     return -(prior + likelihood)
 
 

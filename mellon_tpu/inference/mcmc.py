@@ -604,6 +604,9 @@ def sample_density_posterior(
     z0 = estimator.initial_value
     if getattr(estimator, "pre_transformation", None) is not None:
         z0 = estimator.pre_transformation
+    potential_fn, potential_args = zero_centered_potential(
+        potential_fn, z0, potential_args
+    )
     key = jax.random.PRNGKey(seed)
     if precondition == "hessian":
         # dense-metric sampling through the MAP-Hessian transform: the
@@ -653,6 +656,34 @@ def sample_density_posterior(
     flat = result.samples.reshape((-1,) + result.samples.shape[2:])
     function_samples = jax.vmap(transform)(flat)
     return result, function_samples
+
+
+def zero_centered_potential(potential_fn, z0, potential_args):
+    """Re-center a density potential to ~0 at ``z0`` by threading the
+    ``loss_offset_per_term`` operand (see :func:`..losses.density_loss`).
+
+    At scale the total potential is O(n) and one f32 ulp at 1.3e7 is 1.0,
+    so leapfrog energy differences quantize to ±0.5-1 nats regardless of
+    step size — dual averaging then collapses the step and every tree
+    runs to the depth cap (round-5 root cause of the 1M-atlas/synthetic
+    non-mixing).  The shift must happen INSIDE the likelihood reduction
+    (subtracting after the sum cannot recover bits already rounded away),
+    hence the per-term operand rather than a wrapper.  No-op for
+    potentials that are not the operand-threaded density loss.
+    """
+    from .losses import density_loss
+
+    if potential_fn is not density_loss or len(potential_args) != 4:
+        return potential_fn, potential_args
+    n = potential_args[1].shape[0]
+    v0 = _value_and_grad_program(potential_fn, z0, *potential_args)[0]
+    offset = jnp.asarray(float(v0) / n, dtype=jnp.float32)
+    logger.info(
+        "Zero-centering the sampled potential: loss(z0) = %.6g over %s "
+        "cells (offset %.6g/term); reported potentials are relative to z0.",
+        float(v0), f"{n:,}", float(offset),
+    )
+    return potential_fn, tuple(potential_args) + (offset,)
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,7 @@ def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50,
         preconditioned_potential,
         run_mcmc,
         unwhiten_samples,
+        zero_centered_potential,
     )
     import mellon_tpu
 
@@ -58,6 +59,10 @@ def main(n=1_000_000, d=50, m=5_000, chains=8, warmup=50, samples=50,
     pot = est._loss_fn
     pot_args = tuple(est._loss_args)
     z0 = est.pre_transformation
+    # at 1M cells the potential is 1.3e7 where one f32 ulp is 1.0 — energy
+    # differences quantize and every tree caps; re-center it at the MAP
+    # (see losses.density_loss)
+    pot, pot_args = zero_centered_potential(pot, z0, pot_args)
     if precond:
         t0 = time.time()
         z0, gn0, gn1 = newton_polish(pot, z0, pot_args)

@@ -195,6 +195,7 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
         preconditioned_potential,
         run_mcmc,
         unwhiten_samples,
+        zero_centered_potential,
     )
 
     log(
@@ -250,6 +251,13 @@ def main(n=100_000, m=5_000, num_warmup=500, num_samples=1_000,
             log("using bf16 storage for L")
         m_eff = m
         L_itemsize = L.dtype.itemsize
+
+    # re-center the sampled potential at the MAP: at O(n) magnitude the
+    # f32 energy differences quantize (1 ulp at 1.3e7 is 1.0) and the
+    # step collapses with every tree at the cap (see losses.density_loss)
+    potential_fn, potential_args = zero_centered_potential(
+        potential_fn, z0, tuple(potential_args)
+    )
 
     if precond:
         # dense-metric sampling: MAP-Hessian Cholesky transform (the

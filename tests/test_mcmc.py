@@ -660,3 +660,93 @@ def test_nuts_mixes_on_large_density_model():
     ess = effective_sample_size(np.asarray(res.samples))
     # a healthy run at this scale is near-iid; the broken one was ~4
     assert float(np.median(ess)) > 300
+
+
+def test_density_loss_offset_algebraic_identity():
+    """loss(z, ..., offset) == loss(z, ...) - n*offset exactly (constant
+    shift: no gradient or posterior change) — f64 check."""
+    from mellon_tpu.inference.losses import density_loss
+
+    key = jax.random.PRNGKey(0)
+    n, m = 300, 8
+    L = jax.random.normal(key, (n, m), dtype=jnp.float64) / jnp.sqrt(m)
+    nn = 0.05 + 0.3 * jax.random.uniform(
+        jax.random.fold_in(key, 1), (n,), dtype=jnp.float64
+    )
+    z = jax.random.normal(jax.random.fold_in(key, 2), (m,), dtype=jnp.float64)
+    c = 3.7
+    a = float(density_loss(z, L, nn, 20.0, -10.0))
+    b = float(density_loss(z, L, nn, 20.0, -10.0, c))
+    assert b == pytest.approx(a - n * c, rel=1e-12)
+    ga = jax.grad(density_loss)(z, L, nn, 20.0, -10.0)
+    gb = jax.grad(density_loss)(z, L, nn, 20.0, -10.0, c)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-12)
+
+
+def test_zero_centering_restores_f32_energy_resolution():
+    """Round-5 scale fix: at O(n) potential magnitude the f32 energy
+    DIFFERENCE between nearby states quantizes to whole ulps (measured
+    -2.0 vs a -0.15 truth at |loss| ~ 2e7), which collapses the NUTS step
+    size and sends every tree to the depth cap at 1M cells; the per-term
+    zero-centering operand restores ~1e-3-nat resolution."""
+    from mellon_tpu.inference.losses import density_loss
+
+    n, m = 200_000, 32
+    key = jax.random.PRNGKey(0)
+    L32 = (jax.random.normal(key, (n, m)) / jnp.sqrt(m)).astype(jnp.float32)
+    nn32 = (
+        0.05
+        + 0.3 * jax.random.uniform(jax.random.fold_in(key, 1), (n,))
+    ).astype(jnp.float32)
+    z1 = 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (m,)).astype(
+        jnp.float32
+    )
+    z2 = z1 + 1e-3 * jax.random.normal(
+        jax.random.fold_in(key, 3), (m,)
+    ).astype(jnp.float32)
+
+    v1 = float(density_loss(z1, L32, nn32, 20.0, -10.0))
+    assert abs(v1) > 1e6  # the regime where raw f32 differences quantize
+    c = jnp.asarray(np.float32(v1 / n))
+
+    L64 = jnp.asarray(np.asarray(L32), jnp.float64)
+    nn64 = jnp.asarray(np.asarray(nn32), jnp.float64)
+    z1_64 = jnp.asarray(np.asarray(z1), jnp.float64)
+    z2_64 = jnp.asarray(np.asarray(z2), jnp.float64)
+    dE_true = float(
+        density_loss(z2_64, L64, nn64, 20.0, -10.0)
+        - density_loss(z1_64, L64, nn64, 20.0, -10.0)
+    )
+    dE_cent = float(
+        density_loss(z2, L32, nn32, 20.0, -10.0, c)
+        - density_loss(z1, L32, nn32, 20.0, -10.0, c)
+    )
+    assert abs(dE_cent - dE_true) < 0.05 * max(abs(dE_true), 0.01)
+
+
+def test_zero_centered_potential_wiring():
+    """zero_centered_potential appends the offset operand for the
+    operand-threaded density loss (potential ~0 at z0) and no-ops for
+    anything else."""
+    from mellon_tpu.inference.losses import density_loss
+    from mellon_tpu.inference.mcmc import zero_centered_potential
+
+    key = jax.random.PRNGKey(0)
+    n, m = 500, 8
+    L = (jax.random.normal(key, (n, m)) / jnp.sqrt(m)).astype(jnp.float32)
+    nn = (
+        0.05 + 0.3 * jax.random.uniform(jax.random.fold_in(key, 1), (n,))
+    ).astype(jnp.float32)
+    z0 = jnp.zeros(m, dtype=jnp.float32)
+    args = (L, nn, 20.0, -10.0)
+    fn, new_args = zero_centered_potential(density_loss, z0, args)
+    assert fn is density_loss and len(new_args) == 5
+    v = float(density_loss(z0, *new_args))
+    v_raw = float(density_loss(z0, *args))
+    assert abs(v) < 1e-3 * max(abs(v_raw), 1.0)
+
+    def other_potential(z):
+        return jnp.sum(z**2)
+
+    fn2, args2 = zero_centered_potential(other_potential, z0, ())
+    assert fn2 is other_potential and args2 == ()
