@@ -36,6 +36,10 @@ run() {
 }
 
 run 5400 time_bench_r5b    python time_bench.py
+# the f64 arbiter must run on the CPU backend (approx_min_k has no f64
+# lowering on TPU; the r5a invocation missed the env stripping)
+run 3600 ls_time_f64_batched_r5b env -u PALLAS_AXON_POOL_IPS -u JAX_PLATFORMS \
+  python ls_time_f64_batched.py
 run 7200 atlas_nuts_precond_r5b python atlas_nuts_bench.py 1000000 50 5000 16 300 500 precond
 run 1500 bench_r5b         python /root/repo/bench.py
 cd /root/repo
