@@ -570,6 +570,7 @@ def sample_density_posterior(
     seed=0,
     precision=None,
     precondition=None,
+    function_samples=True,
     **kwargs,
 ):
     """Draw posterior samples of the latent GP function of a fitted (or
@@ -578,6 +579,12 @@ def sample_density_posterior(
     This supersedes the reference's Laplace/ADVI posterior approximations
     with exact MCMC over the whitened latents z; the function-space samples
     are ``transform(z) = L z + mu`` applied per draw.
+
+    ``function_samples=False`` returns ``(result, None)`` — required at
+    scale when the (total draws × n cells) function matrix cannot fit in
+    HBM (e.g. 64k draws × 100k cells = 25.6 GB); compute per-cell
+    summaries from ``result.samples`` through ``estimator.transform`` in
+    caller-chosen chunks instead.
     """
     if estimator.loss_func is None:
         raise ValueError(
@@ -593,6 +600,16 @@ def sample_density_posterior(
         # store the matrix operands in bfloat16: halves the HBM traffic of
         # each leapfrog (~1.9x measured) while the matvec still accumulates
         # in f32; perturbs the target by ~1e-3 relative (PERFORMANCE.md)
+        logger.warning(
+            "precision='bf16' sampling FAILED the round-5 posterior-"
+            "agreement bar on the 100k-cell benchmark model: the ~1e-3 "
+            "perturbation of the latent function acts as high-frequency "
+            "potential noise — trees ran to the depth cap and posterior "
+            "stds were biased in 92% of dimensions "
+            "(benchdata/logs_r5/bf16_agreement_direct_r5.log).  Use it "
+            "only with your own agreement check; the f32 default is "
+            "certified."
+        )
         potential_args = tuple(
             a.astype(jnp.bfloat16)
             if getattr(a, "ndim", 0) == 2 and a.dtype == jnp.float32
@@ -652,10 +669,11 @@ def sample_density_posterior(
             potential_args=potential_args,
             **kwargs,
         )
+    if not function_samples:
+        return result, None
     transform = estimator.transform
     flat = result.samples.reshape((-1,) + result.samples.shape[2:])
-    function_samples = jax.vmap(transform)(flat)
-    return result, function_samples
+    return result, jax.vmap(transform)(flat)
 
 
 def zero_centered_potential(potential_fn, z0, potential_args):
